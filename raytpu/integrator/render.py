@@ -1,0 +1,173 @@
+"""Render orchestration: ray generation, sample accumulation, tiling.
+
+Replaces the reference's pthread row-slab loop (fill_canva,
+/root/reference/main.c:245-284) and per-pixel sample loop (main.c:264-273)
+with a jitted wavefront: a tile of pixels is traced together, samples
+accumulate through a ``lax.scan``, and tiles stream through one compiled
+program. Pixel coordinates follow the reference exactly:
+u = (i + U(-.5,.5))/(W-1), v = (j + U(-.5,.5))/(H-1) with j counted from
+the bottom row (main.c:265-266); the aperture jitter is
+U(-.5,.5) * ouverture (main.c:268-269).
+
+Outputs stay in linear float; sqrt-gamma + quantization happen once at
+image assembly (write_color_canva semantics, rtutility.h:56-71 — but
+unlike the reference we do NOT quantize before denoising; see SURVEY.md
+§7 fidelity notes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from raytpu.camera import Camera, get_rays
+from raytpu.core import rng
+from raytpu.core.color import quantize, tonemap
+from raytpu.core.types import RenderConfig, Scene
+from raytpu.core.vec3 import Vec3
+from raytpu.integrator.path import trace
+
+
+class RenderSums(NamedTuple):
+    """Per-pixel accumulators (sample sums, not means) — the checkpointable
+    render state (SURVEY.md §5.4)."""
+
+    radiance: Vec3
+    albedo: Vec3
+    normal: Vec3
+    samples: Array  # scalar int32: samples accumulated so far
+
+
+def sample_rays(
+    cam: Camera,
+    cfg: RenderConfig,
+    pixel_ids: Array,
+    ray_keys: Array,
+):
+    """Generate one camera ray per pixel id for one sample index."""
+    draws = rng.camera_uniforms(ray_keys, 4)  # (4, B)
+    i = (pixel_ids % cfg.width).astype(jnp.float32)
+    j = (pixel_ids // cfg.width).astype(jnp.float32)
+    u = (i + (draws[0] - 0.5)) / (cfg.width - 1)
+    v = (j + (draws[1] - 0.5)) / (cfg.height - 1)
+    dx = (draws[2] - 0.5) * cfg.aperture_x
+    dy = (draws[3] - 0.5) * cfg.aperture_y
+    return get_rays(cam, u, v, cfg.focus_distance, dx, dy)
+
+
+def render(
+    scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    pixel_ids: Array,
+    key: Array,
+    sample_offset: int = 0,
+    n_samples: Optional[int] = None,
+    init: Optional[RenderSums] = None,
+) -> RenderSums:
+    """Accumulate ``n_samples`` samples for a batch of pixels.
+
+    Jittable and differentiable. ``sample_offset`` selects the global
+    sample indices [offset, offset + n) so sample-axis sharding and
+    checkpoint/resume consume exactly the same RNG streams as a
+    single-device run.
+    """
+    n = cfg.spp if n_samples is None else n_samples
+    b = pixel_ids.shape[0]
+    pix_keys = rng.pixel_keys(key, pixel_ids)
+
+    if init is None:
+        init = RenderSums(
+            Vec3.zeros((b,)), Vec3.zeros((b,)), Vec3.zeros((b,)),
+            jnp.zeros((), jnp.int32),
+        )
+
+    def sample_step(sums: RenderSums, s: Array):
+        ray_keys = rng.sample_keys(pix_keys, s)
+        origin, direction = sample_rays(cam, cfg, pixel_ids, ray_keys)
+        rad, alb, nrm = trace(scene, cfg, origin, direction, ray_keys)
+        return (
+            RenderSums(
+                sums.radiance + rad,
+                sums.albedo + alb,
+                sums.normal + nrm,
+                sums.samples + 1,
+            ),
+            None,
+        )
+
+    sample_idx = jnp.arange(sample_offset, sample_offset + n, dtype=jnp.int32)
+    sums, _ = jax.lax.scan(sample_step, init, sample_idx)
+    return sums
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _render_tile(scene, cam, cfg, pixel_ids, key):
+    return render(scene, cam, cfg, pixel_ids, key)
+
+
+class RenderOutput(NamedTuple):
+    image: np.ndarray      # (H, W, 3) linear float mean radiance, row 0 = top
+    canvas: np.ndarray     # (H, W, 3) quantized 0..255 ints (reference canva)
+    albedo: np.ndarray     # (H, W, 3) AOV mean
+    normal: np.ndarray     # (H, W, 3) AOV mean
+
+
+def render_image(
+    scene: Scene,
+    cam: Camera,
+    cfg: RenderConfig,
+    key: Array,
+) -> RenderOutput:
+    """Full-frame render: tiles of ``cfg.pixel_tile`` pixels stream through
+    one jitted program (same compiled code for every tile)."""
+    n_pix = cfg.n_pixels
+    tile = min(cfg.pixel_tile, n_pix)
+    n_tiles = (n_pix + tile - 1) // tile
+    padded = n_tiles * tile
+
+    rad = np.zeros((padded, 3), np.float32)
+    alb = np.zeros((padded, 3), np.float32)
+    nrm = np.zeros((padded, 3), np.float32)
+
+    all_ids = np.arange(padded, dtype=np.int32)
+    all_ids = np.minimum(all_ids, n_pix - 1)  # pad by repeating last pixel
+
+    for t in range(n_tiles):
+        ids = jnp.asarray(all_ids[t * tile : (t + 1) * tile])
+        sums = _render_tile(scene, cam, cfg, ids, key)
+        rad[t * tile : (t + 1) * tile] = np.asarray(sums.radiance.to_array())
+        alb[t * tile : (t + 1) * tile] = np.asarray(sums.albedo.to_array())
+        nrm[t * tile : (t + 1) * tile] = np.asarray(sums.normal.to_array())
+
+    return assemble_image(cfg, rad[:n_pix], alb[:n_pix], nrm[:n_pix])
+
+
+def assemble_image(
+    cfg: RenderConfig, rad_sums: np.ndarray, alb_sums: np.ndarray,
+    nrm_sums: np.ndarray, spp: Optional[int] = None,
+) -> RenderOutput:
+    """Means + tonemap + quantize; flips rows so row 0 is the top (the
+    reference writes bottom-up storage top-down, main.c:460-465)."""
+    spp = spp if spp is not None else cfg.spp
+    h, w = cfg.height, cfg.width
+
+    mean_rad = rad_sums.reshape(h, w, 3) / spp
+    mean_alb = alb_sums.reshape(h, w, 3) / spp
+    mean_nrm = nrm_sums.reshape(h, w, 3) / spp
+
+    toned = tonemap(Vec3.from_array(jnp.asarray(mean_rad)))
+    canvas = np.asarray(quantize(toned).to_array(), np.float32)
+
+    flip = lambda a: a[::-1]  # bottom-up rows -> top-down image
+    return RenderOutput(
+        image=flip(mean_rad),
+        canvas=flip(canvas).astype(np.int32),
+        albedo=flip(mean_alb),
+        normal=flip(mean_nrm),
+    )

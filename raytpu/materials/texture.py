@@ -1,0 +1,106 @@
+"""Texture sampling and material resolution.
+
+Vectorizes tri_uvmapping (/root/reference/texture.h:44-89) and
+sphere_uvmapping (texture.h:92-112): barycentric UV interpolation with
+fmod wrap, nearest-texel fetch from the flat atlas
+(index = y*W + x + W*H*mat_id), and the per-material-id physics table
+(the reference hardcodes ids 1/3/4, texture.h:71-88; here it's the
+scene's MatTable).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+from raytpu.core.types import MatTable, Materials, SkyTexture, TextureAtlas
+from raytpu.core.vec3 import Vec3
+from raytpu.geometry.triangle import barycentric
+
+
+def wrap_uv(u: Array) -> Array:
+    """fmod wrap to [0, 1) with negative correction (texture.h:53-60).
+    C fmod truncates toward zero; jnp.fmod matches."""
+    u = jnp.fmod(u, 1.0)
+    return jnp.where(u < 0.0, u + 1.0, u)
+
+
+def atlas_fetch(
+    atlas: TextureAtlas, mat_id: Array, u: Array, v: Array
+) -> tuple[Vec3, Array]:
+    """Nearest-texel fetch (texture.h:61-69). Returns (rgb, alpha) per ray.
+
+    x = trunc(u * W), y = trunc(v * H); after wrapping u, v are in [0, 1)
+    so truncation == floor; clamped defensively for u == 1.0 edge cases
+    introduced by f32 rounding.
+    """
+    w, h = atlas.width, atlas.height
+    x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
+    idx = (y * w + x) + (h * w) * mat_id
+    rgb = atlas.rgb.take(idx)
+    alpha = jnp.take(atlas.alpha, idx, axis=0)
+    return rgb, alpha
+
+
+def triangle_material(
+    tri_a: Vec3,
+    tri_b: Vec3,
+    tri_c: Vec3,
+    uv_a: tuple[Array, Array],
+    uv_b: tuple[Array, Array],
+    uv_c: tuple[Array, Array],
+    normal: Vec3,
+    hit_point: Vec3,
+    mat_id: Array,
+    atlas: TextureAtlas,
+    table: MatTable,
+) -> Materials:
+    """tri_uvmapping (texture.h:44-89) for a batch of per-ray winning
+    triangles (already gathered to (B,) shapes)."""
+    w_a, w_b, w_c = barycentric(tri_a, tri_b, tri_c, normal, hit_point)
+    u = wrap_uv(w_a * uv_a[0] + w_b * uv_b[0] + w_c * uv_c[0])
+    v = wrap_uv(w_a * uv_a[1] + w_b * uv_b[1] + w_c * uv_c[1])
+
+    if atlas.count > 0:
+        rgb, tex_alpha = atlas_fetch(atlas, mat_id, u, v)
+    else:
+        # Mesh without textures: the reference assigns a constant default
+        # material (SKY diffuse, mesh.h:207) when no atlas is present.
+        b = mat_id.shape[0] if mat_id.ndim else ()
+        rgb = Vec3.full(mat_id.shape, 0.784, 0.965, 1.0)
+        tex_alpha = jnp.ones(mat_id.shape, jnp.float32)
+
+    emission = table.emission.take(mat_id)
+    emission_strength = jnp.take(table.emission_strength, mat_id, axis=0)
+    reflection = jnp.take(table.reflection, mat_id, axis=0)
+    ior = jnp.take(table.ior, mat_id, axis=0)
+    alpha_const = jnp.take(table.alpha_const, mat_id, axis=0)
+    use_const = jnp.take(table.use_alpha_const, mat_id, axis=0)
+    alpha = jnp.where(use_const, alpha_const, tex_alpha)
+
+    return Materials(
+        diffuse=rgb,
+        emission=emission,
+        emission_strength=emission_strength,
+        reflection=reflection,
+        alpha=alpha,
+        ior=ior,
+    )
+
+
+def sky_emission(
+    sky: SkyTexture, hit_point: Vec3, center: Vec3, radius: Array
+) -> Vec3:
+    """Equirect sphere UV fetch (sphere_uvmapping, texture.h:92-112):
+    d = (p - c)/r; theta = acos(-d.y); phi = atan2(-d.z, d.x) + pi;
+    u = phi/2pi, v = theta/pi."""
+    d = (hit_point - center) / radius
+    theta = jnp.arccos(jnp.clip(-d.y, -1.0, 1.0))
+    phi = jnp.arctan2(-d.z, d.x) + jnp.pi
+    u = phi / (2.0 * jnp.pi)
+    v = theta / jnp.pi
+    w, h = sky.width, sky.height
+    x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
+    return sky.rgb.take(y * w + x)
