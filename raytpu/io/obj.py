@@ -1,0 +1,232 @@
+"""OBJ/MTL mesh loading into SoA scene arrays.
+
+Python reimplementation of the reference's asset pipeline (a native C++
+fast path with identical semantics lives in raytpu/native — see
+raytpu.io.native):
+  * list_of_mesh (/root/reference/mesh.h:96-218): four-pass OBJ parse —
+    count faces/usemtl, count v/vt, read vertices+UVs, read faces with
+    1-based ``f v/t/n`` indices; each ``usemtl`` occurrence opens a new
+    material slot (duplicate names get duplicate slots, exactly like the
+    reference's nbMaterial = usemtl line count).
+  * tex_path_from_mtl (/root/reference/rtutility.h:233-290): looks up
+    ``map_Kd`` under ``newmtl <name>``, resolves relative to the MTL's
+    directory, strips a leading "./".
+  * create_mat_list_mtl (/root/reference/texture.h:175-354): loads each
+    material's texture + alpha companion into one shared-size atlas.
+  * move_mesh (/root/reference/mesh.h:220-234): whole-mesh translation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytpu.core.types import (
+    MatTable,
+    Scene,
+    SkyTexture,
+    Spheres,
+    TextureAtlas,
+    Triangles,
+)
+from raytpu.core.vec3 import Vec3
+from raytpu.io.image import load_texture_pair
+
+
+class ObjMesh(NamedTuple):
+    vertices: np.ndarray    # (V, 3) f32
+    uvs: np.ndarray         # (VT, 2) f32
+    face_v: np.ndarray      # (T, 3) int32, 0-based vertex indices
+    face_t: np.ndarray      # (T, 3) int32, 0-based uv indices (-1 = none)
+    face_mat: np.ndarray    # (T,) int32 material slot per face
+    mat_names: list         # usemtl name per slot (duplicates preserved)
+
+
+def parse_obj(path: str) -> ObjMesh:
+    """list_of_mesh's parse (mesh.h:96-218), single pass."""
+    vertices, uvs = [], []
+    face_v, face_t, face_mat = [], [], []
+    mat_names: list = []
+    cur_mat = -1  # faces before any usemtl get -1, like path_mat_ind (mesh.h:167)
+
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                vertices.append((float(p[1]), float(p[2]), float(p[3])))
+            elif line.startswith("vt"):
+                p = line.split()
+                uvs.append((float(p[1]), float(p[2])))
+            elif line.startswith("usemtl"):
+                mat_names.append(line[6:].strip())
+                cur_mat += 1
+            elif line.startswith("f "):
+                p = line.split()[1:]
+                if len(p) < 3:
+                    continue
+                # reference supports triangles only ("le mesh doit etre
+                # triangulaire", README.md:81); fan-triangulate defensively
+                idx = []
+                for tok in p:
+                    parts = tok.split("/")
+                    vi = int(parts[0])
+                    ti = (
+                        int(parts[1])
+                        if len(parts) > 1 and parts[1] != ""
+                        else 0
+                    )
+                    idx.append((vi - 1, ti - 1))
+                for k in range(1, len(idx) - 1):
+                    tri = (idx[0], idx[k], idx[k + 1])
+                    face_v.append(tuple(t[0] for t in tri))
+                    face_t.append(tuple(t[1] for t in tri))
+                    face_mat.append(cur_mat)
+
+    return ObjMesh(
+        vertices=np.asarray(vertices, np.float32).reshape(-1, 3),
+        uvs=np.asarray(uvs, np.float32).reshape(-1, 2),
+        face_v=np.asarray(face_v, np.int32).reshape(-1, 3),
+        face_t=np.asarray(face_t, np.int32).reshape(-1, 3),
+        face_mat=np.asarray(face_mat, np.int32),
+        mat_names=mat_names,
+    )
+
+
+def tex_path_from_mtl(mtl_path: str, material_name: str) -> Optional[str]:
+    """rtutility.h:233-290: find map_Kd under newmtl <name>, resolve
+    relative to the mtl's directory, strip a leading './'."""
+    mtl_dir = os.path.dirname(mtl_path)
+    in_target = False
+    with open(mtl_path) as f:
+        for line in f:
+            if line.startswith("newmtl "):
+                in_target = line[7:].strip() == material_name
+            elif in_target and line.startswith("map_Kd "):
+                tex = line[7:].strip()
+                if tex.startswith("./"):
+                    tex = tex[2:]
+                return os.path.join(mtl_dir, tex)
+    return None
+
+
+def build_atlas(tex_paths: Sequence[Optional[str]]) -> TextureAtlas:
+    """create_mat_list_mtl (texture.h:175-354): one flat atlas; all
+    textures must share one (W, H) (texture.h:221)."""
+    rgbs, alphas = [], []
+    shape = None
+    for p in tex_paths:
+        if p is None:
+            if shape is None:
+                raise ValueError("first material has no texture path")
+            rgb = np.full(shape + (3,), 0.784, np.float32)  # SKY-ish default
+            alpha = np.ones(shape, np.float32)
+        else:
+            rgb, alpha = load_texture_pair(p)
+        if shape is None:
+            shape = rgb.shape[:2]
+        elif rgb.shape[:2] != shape:
+            raise ValueError(
+                f"atlas textures must share one size (texture.h:221): "
+                f"{p} is {rgb.shape[:2]}, expected {shape}"
+            )
+        rgbs.append(rgb.reshape(-1, 3))
+        alphas.append(alpha.reshape(-1))
+    h, w = shape
+    rgb_flat = np.concatenate(rgbs, 0)
+    alpha_flat = np.concatenate(alphas, 0)
+    return TextureAtlas(
+        rgb=Vec3(
+            jnp.asarray(rgb_flat[:, 0]),
+            jnp.asarray(rgb_flat[:, 1]),
+            jnp.asarray(rgb_flat[:, 2]),
+        ),
+        alpha=jnp.asarray(alpha_flat),
+        width=w,
+        height=h,
+    )
+
+
+def mesh_to_triangles(
+    mesh: ObjMesh, translate=(0.0, 0.0, 0.0)
+) -> Triangles:
+    """Assemble Triangles SoA (mesh.h:197-207) + move_mesh translation
+    (mesh.h:220-234). Faces before any usemtl clamp to slot 0 (the
+    reference would index with -1 — undefined behavior we don't copy)."""
+    off = np.asarray(translate, np.float32)
+    v = mesh.vertices + off
+    tri_v = v[mesh.face_v]        # (T, 3, 3)
+    has_uv = mesh.uvs.shape[0] > 0
+    if has_uv:
+        uv_idx = np.clip(mesh.face_t, 0, mesh.uvs.shape[0] - 1)
+        tri_uv = mesh.uvs[uv_idx]  # (T, 3, 2)
+        tri_uv = np.where(mesh.face_t[..., None] >= 0, tri_uv, 0.0)
+    else:
+        tri_uv = np.zeros(mesh.face_v.shape + (2,), np.float32)
+    mat_id = np.maximum(mesh.face_mat, 0)
+
+    def vec(i):
+        return Vec3(
+            jnp.asarray(tri_v[:, i, 0]),
+            jnp.asarray(tri_v[:, i, 1]),
+            jnp.asarray(tri_v[:, i, 2]),
+        )
+
+    return Triangles(
+        a=vec(0), b=vec(1), c=vec(2),
+        ua=jnp.asarray(tri_uv[:, 0, 0]), va=jnp.asarray(tri_uv[:, 0, 1]),
+        ub=jnp.asarray(tri_uv[:, 1, 0]), vb=jnp.asarray(tri_uv[:, 1, 1]),
+        uc=jnp.asarray(tri_uv[:, 2, 0]), vc=jnp.asarray(tri_uv[:, 2, 1]),
+        mat_id=jnp.asarray(mat_id, jnp.int32),
+    )
+
+
+def load_obj_scene(
+    obj_path: str,
+    mtl_path: Optional[str] = None,
+    translate=(0.0, 0.0, 0.0),
+    spheres: Optional[Spheres] = None,
+    mat_table: Optional[MatTable] = None,
+    with_textures: bool = True,
+) -> Scene:
+    """The init() of this framework (SURVEY.md §3.3): OBJ + MTL + textures
+    -> Scene. ``mat_table=None`` uses neutral defaults;
+    MatTable.reference_overrides reproduces texture.h:71-88."""
+    mesh = parse_obj(obj_path)
+    tris = mesh_to_triangles(mesh, translate)
+
+    n_mat = max(len(mesh.mat_names), 1)
+    if with_textures and mtl_path is not None and mesh.mat_names:
+        paths = [tex_path_from_mtl(mtl_path, n) for n in mesh.mat_names]
+        atlas = build_atlas(paths)
+    else:
+        atlas = TextureAtlas.empty()
+
+    if mat_table is None:
+        mat_table = MatTable.default(n_mat)
+
+    return Scene(
+        spheres=spheres if spheres is not None else Spheres.empty(),
+        triangles=tris,
+        atlas=atlas,
+        mat_table=mat_table,
+        sky=SkyTexture.empty(),
+    )
+
+
+def load_sky(path: str) -> SkyTexture:
+    """Equirect sky texture (create_mat_list on the sky file, main.c:374)."""
+    from raytpu.io.image import load_rgb
+
+    rgb = load_rgb(path)
+    h, w = rgb.shape[:2]
+    flat = rgb.reshape(-1, 3)
+    return SkyTexture(
+        rgb=Vec3(
+            jnp.asarray(flat[:, 0]), jnp.asarray(flat[:, 1]), jnp.asarray(flat[:, 2])
+        ),
+        width=w,
+        height=h,
+    )

@@ -67,3 +67,48 @@ def test_cornell_dof_matches_oracle():
         aperture_x=0.3, aperture_y=0.2, focus_distance=3.0,
     )
     _compare(scene, cam, cfg, jax.random.PRNGKey(11))
+
+
+@pytest.mark.slow
+def test_refraction_stack_matches_oracle():
+    """Glass + water spheres exercise the pile.h IOR-stack semantics
+    (push on entry, pop+swap on exit) and the probabilistic
+    refract-vs-scatter split (main.c:167-193)."""
+    from raytpu.camera import make_camera
+    from raytpu.core.types import Scene
+    from raytpu.scenes import BLACK, SKY, WHITE, spheres_from_rows
+
+    rows = [
+        ((0, -501, 0), 500.0, WHITE, BLACK, 0.0, 0.0, 1.0, 1.0),   # floor
+        ((0, 0, -3), 1.0, WHITE, BLACK, 0.0, 0.3, 0.1, 1.5),       # glass ball
+        ((0.8, 0.2, -2), 0.5, (0.6, 0.8, 1.0), BLACK, 0.0, 0.93, 0.6, 1.33),  # water ball
+        ((0, 0, 0), 100.0, BLACK, SKY, 1.0, 0.0, 1.0, 1.0),        # sky dome
+    ]
+    scene = Scene.from_spheres(spheres_from_rows(rows))
+    cam = make_camera(
+        origin=(0, 0.5, 2), target=(0, 0, -3), up=(0, 1, 0),
+        vfov_deg=50.0, aspect_ratio=1.5,
+    )
+    cfg = RenderConfig(width=12, height=8, spp=4, max_bounces=8)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(13), outlier_frac=0.05)
+
+
+@pytest.mark.slow
+def test_textured_mesh_matches_oracle():
+    """mcworld mesh: triangles + texture atlas + alpha-cutout leaves
+    (tri_uvmapping semantics, texture.h:44-89)."""
+    from raytpu.camera import make_camera
+    from raytpu.io.obj import load_obj_scene
+    from raytpu.scenes import BLACK, SKY, spheres_from_rows
+
+    d = "/root/reference/model3D/mcworld_tiltedtex_water"
+    sky = spheres_from_rows([((0, 0, 0), 10000.0, BLACK, SKY, 1.0, 0.0, 1.0, 1.0)])
+    scene = load_obj_scene(
+        f"{d}/mineways_tri.obj", f"{d}/mineways_tri.mtl", spheres=sky
+    )
+    cam = make_camera(
+        origin=(2.5, 2.6, 2.5), target=(0.075, 1.0, 0.0), up=(0, 1, 0),
+        vfov_deg=45.0, aspect_ratio=1.5,
+    )
+    cfg = RenderConfig(width=12, height=8, spp=2, max_bounces=4)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(17), outlier_frac=0.05)

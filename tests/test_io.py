@@ -1,0 +1,110 @@
+"""Asset pipeline tests against the reference's shipped model3D assets
+(SURVEY.md §4: 'PPM/OBJ/MTL parsers against the small assets that ship in
+the reference')."""
+
+import os
+
+import numpy as np
+import pytest
+
+from raytpu.io.obj import (
+    build_atlas,
+    load_obj_scene,
+    mesh_to_triangles,
+    parse_obj,
+    tex_path_from_mtl,
+)
+
+REF = "/root/reference/model3D"
+
+
+class TestParseObj:
+    def test_pyramide_counts(self):
+        """pyramide_tri.obj: 5 vertices, 5 uvs, 6 faces, 1 usemtl."""
+        mesh = parse_obj(f"{REF}/pyramide_tri.obj")
+        assert mesh.vertices.shape == (5, 3)
+        assert mesh.face_v.shape == (6, 3)
+        assert mesh.mat_names == ["Mat"]
+        assert (mesh.face_mat == 0).all()
+
+    def test_pyramide_face_indices_one_based(self):
+        mesh = parse_obj(f"{REF}/pyramide_tri.obj")
+        # first face is "f 3/1/1 1/2/1 4/3/1" -> 0-based (2, 0, 3)
+        np.testing.assert_array_equal(mesh.face_v[0], [2, 0, 3])
+        np.testing.assert_array_equal(mesh.face_t[0], [0, 1, 2])
+
+    def test_pyramide_eau_materials(self):
+        """scene.obj: 34 faces, 5 usemtl blocks in order."""
+        mesh = parse_obj(f"{REF}/pyramide_eau/scene.obj")
+        assert mesh.face_v.shape[0] == 34
+        assert mesh.mat_names == [
+            "murs_1", "lumiere_1", "plafond_sol_1", "vitre_1", "eau_1",
+        ]
+        # faces inherit the most recent usemtl slot
+        assert mesh.face_mat[0] == 0
+        assert mesh.face_mat[-1] == 4
+
+    def test_translation_matches_move_mesh(self):
+        mesh = parse_obj(f"{REF}/pyramide_tri.obj")
+        t0 = mesh_to_triangles(mesh)
+        t1 = mesh_to_triangles(mesh, translate=(1.0, 2.0, 3.0))
+        np.testing.assert_allclose(np.asarray(t1.a.x), np.asarray(t0.a.x) + 1.0)
+        np.testing.assert_allclose(np.asarray(t1.b.y), np.asarray(t0.b.y) + 2.0)
+        np.testing.assert_allclose(np.asarray(t1.c.z), np.asarray(t0.c.z) + 3.0)
+
+
+class TestMtl:
+    def test_map_kd_resolution(self):
+        p = tex_path_from_mtl(f"{REF}/pyramide_eau/scene.mtl", "murs_1")
+        assert p == f"{REF}/pyramide_eau/tex/murs.png"
+
+    def test_missing_material(self):
+        assert tex_path_from_mtl(f"{REF}/pyramide_eau/scene.mtl", "nope") is None
+
+    def test_material_without_map(self):
+        # pyramide_tri.mtl's "Mat" has no map_Kd
+        assert tex_path_from_mtl(f"{REF}/pyramide_tri.mtl", "Mat") is None
+
+
+class TestAtlas:
+    def test_ppm_atlas_mcworld(self):
+        """mcworld tex dir ships real 16x16 ASCII PPMs + _alpha.ppm."""
+        d = f"{REF}/mcworld_tiltedtex_water/tex"
+        atlas = build_atlas([f"{d}/stone.png", f"{d}/dirt.png"])
+        assert (atlas.width, atlas.height) == (16, 16)
+        assert atlas.count == 2
+        assert atlas.alpha.shape[0] == 2 * 16 * 16
+        a = np.asarray(atlas.rgb.x)
+        assert a.min() >= 0.0 and a.max() <= 1.0
+
+    def test_png_fallback_with_alpha_png(self):
+        """pyramide_eau has no PPMs: loader falls back to PNG + _alpha.png."""
+        d = f"{REF}/pyramide_eau/tex"
+        atlas = build_atlas([f"{d}/murs.png"])
+        assert (atlas.width, atlas.height) == (1500, 1227)
+
+    def test_size_mismatch_rejected(self):
+        d1 = f"{REF}/mcworld_tiltedtex_water/tex"
+        d2 = f"{REF}/pyramide_eau/tex"
+        with pytest.raises(ValueError, match="share one size"):
+            build_atlas([f"{d1}/stone.png", f"{d2}/murs.png"])
+
+
+class TestSceneLoad:
+    def test_pyramide_scene(self):
+        scene = load_obj_scene(
+            f"{REF}/pyramide_tri.obj", f"{REF}/pyramide_tri.mtl",
+            with_textures=False,
+        )
+        assert scene.triangles.count == 6
+        assert scene.spheres.count == 0
+
+    def test_mcworld_scene_with_textures(self):
+        scene = load_obj_scene(
+            f"{REF}/mcworld_tiltedtex_water/mineways_tri.obj",
+            f"{REF}/mcworld_tiltedtex_water/mineways_tri.mtl",
+        )
+        assert scene.triangles.count > 500  # 606 tris per SURVEY.md §6
+        assert scene.atlas.count == len(
+            parse_obj(f"{REF}/mcworld_tiltedtex_water/mineways_tri.obj").mat_names
+        )
