@@ -101,7 +101,11 @@ def render(
             None,
         )
 
-    sample_idx = jnp.arange(sample_offset, sample_offset + n, dtype=jnp.int32)
+    # offset added after arange so sample_offset may be a traced value
+    # (the sharded path derives it from lax.axis_index)
+    sample_idx = jnp.arange(n, dtype=jnp.int32) + jnp.asarray(
+        sample_offset, jnp.int32
+    )
     sums, _ = jax.lax.scan(sample_step, init, sample_idx)
     return sums
 
