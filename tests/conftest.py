@@ -17,8 +17,14 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-if jax.default_backend() != "cpu" or jax.device_count() < 8:
-    jax.config.update("jax_platforms", "cpu")
-    import jax._src.xla_bridge as xb
+# NOTE: do not query devices before the config update — once a backend
+# is initialized the platform choice latches and cannot be switched.
+jax.config.update("jax_platforms", "cpu")
+import jax._src.xla_bridge as xb
 
-    xb._clear_backends()
+xb._clear_backends()
+
+assert jax.default_backend() == "cpu" and jax.device_count() >= 8, (
+    f"test harness needs 8 virtual CPU devices, got "
+    f"{jax.device_count()}x{jax.default_backend()}"
+)
