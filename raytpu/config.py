@@ -1,0 +1,184 @@
+"""Scene/config specs: the reference's compile-time literals as data.
+
+The reference hardcodes every render parameter and the whole scene inside
+``main()`` (/root/reference/main.c:292-347 — resolution, camera, DoF,
+spp, bounces, AO, file paths, the sphere array) and the per-material
+physics inside ``tri_uvmapping`` (/root/reference/texture.h:71-88);
+changing a scene means recompiling. Here the same information lives in a
+TOML scene spec (SURVEY.md §5.6):
+
+    [render]   width/height/spp/bounces/ao/aperture/focus/...
+    [camera]   origin/target/up/vfov
+    [[spheres]] center/radius/diffuse/emission/...
+    [mesh]     obj/mtl/translate + [[mesh.materials]] id overrides
+    [sky]      file (equirect texture on the last sphere)
+
+Paths resolve relative to the TOML file. ``load_scene`` also accepts the
+built-in named scenes (the BASELINE.json configs).
+"""
+
+from __future__ import annotations
+
+import os
+import tomllib
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytpu.camera import Camera, make_camera
+from raytpu.core.types import (
+    MatTable,
+    RenderConfig,
+    Scene,
+    SkyTexture,
+    Spheres,
+    TextureAtlas,
+    Triangles,
+)
+from raytpu.core.vec3 import Vec3
+
+
+def _spheres_from_spec(rows: list[dict]) -> Spheres:
+    from raytpu.scenes import spheres_from_rows
+
+    return spheres_from_rows(
+        [
+            (
+                tuple(r["center"]),
+                float(r["radius"]),
+                tuple(r.get("diffuse", (0.0, 0.0, 0.0))),
+                tuple(r.get("emission", (0.0, 0.0, 0.0))),
+                float(r.get("emission_strength", 0.0)),
+                float(r.get("reflection", 0.0)),
+                float(r.get("alpha", 1.0)),
+                float(r.get("ior", 1.0)),
+            )
+            for r in rows
+        ]
+    )
+
+
+def _mat_table_from_spec(n: int, overrides: list[dict]) -> MatTable:
+    """[[mesh.materials]] entries generalize texture.h:71-88's hardcoded
+    per-id physics: {id, emission, emission_strength, reflection, ior,
+    alpha} — alpha present means 'force constant alpha for this id'."""
+    em = np.zeros((n, 3), np.float32)
+    es = np.zeros(n, np.float32)
+    rf = np.zeros(n, np.float32)
+    io = np.ones(n, np.float32)
+    ac = np.ones(n, np.float32)
+    ua = np.zeros(n, bool)
+    for o in overrides:
+        i = int(o["id"])
+        if not 0 <= i < n:
+            raise ValueError(f"material override id {i} out of range [0,{n})")
+        em[i] = np.asarray(o.get("emission", em[i]), np.float32)
+        es[i] = float(o.get("emission_strength", es[i]))
+        rf[i] = float(o.get("reflection", rf[i]))
+        io[i] = float(o.get("ior", io[i]))
+        if "alpha" in o:
+            ac[i] = float(o["alpha"])
+            ua[i] = True
+    return MatTable(
+        emission=Vec3(jnp.asarray(em[:, 0]), jnp.asarray(em[:, 1]), jnp.asarray(em[:, 2])),
+        emission_strength=jnp.asarray(es),
+        reflection=jnp.asarray(rf),
+        ior=jnp.asarray(io),
+        alpha_const=jnp.asarray(ac),
+        use_alpha_const=jnp.asarray(ua),
+    )
+
+
+def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
+    """Parse a TOML scene spec into (Scene, Camera, RenderConfig)."""
+    with open(path, "rb") as f:
+        spec = tomllib.load(f)
+    base = os.path.dirname(os.path.abspath(path))
+
+    r = spec.get("render", {})
+    cfg = RenderConfig(
+        width=int(r.get("width", 400)),
+        height=int(r.get("height", 300)),
+        spp=int(r.get("spp", 100)),
+        max_bounces=int(r.get("bounces", 5)),
+        use_ao=bool(r.get("ao", False)),
+        ao_intensity=float(r.get("ao_intensity", 2.5)),
+        focus_distance=float(r.get("focus_distance", 3.0)),
+        aperture_x=float(r.get("aperture_x", 0.0)),
+        aperture_y=float(r.get("aperture_y", 0.0)),
+        ior_stack_depth=int(r.get("ior_stack_depth", 8)),
+    )
+
+    c = spec.get("camera", {})
+    cam = make_camera(
+        origin=tuple(c.get("origin", (0.0, 0.0, 0.0))),
+        target=tuple(c.get("target", (0.0, 0.0, -1.0))),
+        up=tuple(c.get("up", (0.0, 1.0, 0.0))),
+        vfov_deg=float(c.get("vfov", 70.0)),
+        aspect_ratio=cfg.width / cfg.height,
+    )
+
+    spheres = (
+        _spheres_from_spec(spec["spheres"]) if "spheres" in spec else Spheres.empty()
+    )
+
+    triangles = Triangles.empty()
+    atlas = TextureAtlas.empty()
+    mat_table = MatTable.default(1)
+    if "mesh" in spec:
+        from raytpu.io.obj import (
+            build_atlas,
+            mesh_to_triangles,
+            parse_obj,
+            tex_path_from_mtl,
+        )
+
+        m = spec["mesh"]
+        obj_path = os.path.join(base, m["obj"])
+        mesh = parse_obj(obj_path)
+        triangles = mesh_to_triangles(
+            mesh, tuple(m.get("translate", (0.0, 0.0, 0.0)))
+        )
+        n_mat = max(len(mesh.mat_names), 1)
+        if m.get("textures", True) and "mtl" in m and mesh.mat_names:
+            mtl_path = os.path.join(base, m["mtl"])
+            paths = [tex_path_from_mtl(mtl_path, n) for n in mesh.mat_names]
+            atlas = build_atlas(paths)
+        mat_table = _mat_table_from_spec(n_mat, m.get("materials", []))
+
+    sky = SkyTexture.empty()
+    sky_index = -1
+    if "sky" in spec:
+        from raytpu.io.obj import load_sky
+
+        sky = load_sky(os.path.join(base, spec["sky"]["file"]))
+        sky_index = int(spec["sky"].get("sphere_index", spheres.count - 1))
+
+    scene = Scene(
+        spheres=spheres,
+        triangles=triangles,
+        atlas=atlas,
+        mat_table=mat_table,
+        sky=sky,
+        sky_sphere_index=sky_index,
+    )
+    return scene, cam, cfg
+
+
+def load_scene(name_or_path: str) -> tuple[Scene, Camera, RenderConfig]:
+    """Built-in scene name or a path to a .toml spec."""
+    from raytpu import scenes as builtin
+
+    builtins = {
+        "cornell": builtin.cornell_box,
+        "cornell_dof_ao": builtin.cornell_box_dof_ao,
+    }
+    if name_or_path in builtins:
+        return builtins[name_or_path]()
+    if os.path.exists(name_or_path):
+        return load_scene_file(name_or_path)
+    raise ValueError(
+        f"unknown scene {name_or_path!r}; built-ins: {sorted(builtins)} "
+        f"or a path to a .toml scene spec"
+    )

@@ -57,13 +57,15 @@ class Materials:
         return Materials(Vec3(z, z, z), Vec3(z, z, z), z, z, z, z)
 
     def take(self, idx: Array) -> "Materials":
+        from raytpu.core.gather import gather1d
+
         return Materials(
             self.diffuse.take(idx),
             self.emission.take(idx),
-            jnp.take(self.emission_strength, idx, axis=0),
-            jnp.take(self.reflection, idx, axis=0),
-            jnp.take(self.alpha, idx, axis=0),
-            jnp.take(self.ior, idx, axis=0),
+            gather1d(self.emission_strength, idx),
+            gather1d(self.reflection, idx),
+            gather1d(self.alpha, idx),
+            gather1d(self.ior, idx),
         )
 
     @staticmethod

@@ -148,11 +148,13 @@ class Vec3(NamedTuple):
     # indexing / structural helpers
     # ------------------------------------------------------------------
     def take(self, idx: Array) -> "Vec3":
-        """Gather along the leading axis."""
+        """Gather along the leading axis (TPU-fast via gather1d)."""
+        from raytpu.core.gather import gather1d
+
         return Vec3(
-            jnp.take(self.x, idx, axis=0),
-            jnp.take(self.y, idx, axis=0),
-            jnp.take(self.z, idx, axis=0),
+            gather1d(self.x, idx),
+            gather1d(self.y, idx),
+            gather1d(self.z, idx),
         )
 
     def reshape(self, shape) -> "Vec3":

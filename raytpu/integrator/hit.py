@@ -17,6 +17,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 from jax import Array
 
+from raytpu.core.gather import gather1d
 from raytpu.core.types import Materials, RenderConfig, Scene
 from raytpu.core.vec3 import Vec3
 from raytpu.geometry.sphere import sphere_distances, sphere_normal
@@ -94,7 +95,7 @@ def closest_hit(
         if scene.sky_sphere_index >= 0 and scene.sky.rgb.x.shape[0] > 0:
             # textured sky emission (sphere_uvmapping path, texture.h:92-112;
             # commented out in main.c:64-71 — enabled via sky_sphere_index)
-            radii = jnp.take(scene.spheres.radius, s_idx, axis=0)
+            radii = gather1d(scene.spheres.radius, s_idx)
             sky_rgb = sky_emission(scene.sky, point, centers, radii)
             is_sky = s_idx == scene.sky_sphere_index
             m_s = m_s.replace(emission=Vec3.where(is_sky, sky_rgb, m_s.emission))
@@ -110,11 +111,11 @@ def closest_hit(
         n_t = geom.normal.take(t_idx)
         m_t = triangle_material(
             a, bb, c,
-            (jnp.take(tris.ua, t_idx), jnp.take(tris.va, t_idx)),
-            (jnp.take(tris.ub, t_idx), jnp.take(tris.vb, t_idx)),
-            (jnp.take(tris.uc, t_idx), jnp.take(tris.vc, t_idx)),
+            (gather1d(tris.ua, t_idx), gather1d(tris.va, t_idx)),
+            (gather1d(tris.ub, t_idx), gather1d(tris.vb, t_idx)),
+            (gather1d(tris.uc, t_idx), gather1d(tris.vc, t_idx)),
             n_t, point,
-            jnp.take(tris.mat_id, t_idx),
+            gather1d(tris.mat_id, t_idx),
             scene.atlas, scene.mat_table,
         )
         tri_sel = did_hit & tri_wins

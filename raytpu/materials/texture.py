@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
+from raytpu.core.gather import gather1d
 from raytpu.core.types import MatTable, Materials, SkyTexture, TextureAtlas
 from raytpu.core.vec3 import Vec3
 from raytpu.geometry.triangle import barycentric
@@ -39,7 +40,7 @@ def atlas_fetch(
     y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
     idx = (y * w + x) + (h * w) * mat_id
     rgb = atlas.rgb.take(idx)
-    alpha = jnp.take(atlas.alpha, idx, axis=0)
+    alpha = gather1d(atlas.alpha, idx)
     return rgb, alpha
 
 
@@ -72,11 +73,11 @@ def triangle_material(
         tex_alpha = jnp.ones(mat_id.shape, jnp.float32)
 
     emission = table.emission.take(mat_id)
-    emission_strength = jnp.take(table.emission_strength, mat_id, axis=0)
-    reflection = jnp.take(table.reflection, mat_id, axis=0)
-    ior = jnp.take(table.ior, mat_id, axis=0)
-    alpha_const = jnp.take(table.alpha_const, mat_id, axis=0)
-    use_const = jnp.take(table.use_alpha_const, mat_id, axis=0)
+    emission_strength = gather1d(table.emission_strength, mat_id)
+    reflection = gather1d(table.reflection, mat_id)
+    ior = gather1d(table.ior, mat_id)
+    alpha_const = gather1d(table.alpha_const, mat_id)
+    use_const = gather1d(table.use_alpha_const, mat_id)
     alpha = jnp.where(use_const, alpha_const, tex_alpha)
 
     return Materials(
