@@ -32,23 +32,24 @@ def sample_keys(pix_keys: Array, sample_id) -> Array:
     return jax.vmap(lambda k: jax.random.fold_in(k, sample_id))(pix_keys)
 
 
-def bounce_uniforms(ray_keys: Array, bounce, n: int) -> Array:
-    """n U(0,1) draws per ray for one bounce: (B, 2) keys -> (n, B).
+def ray_uniforms(
+    ray_keys: Array, n_cam: int, n_bounce: int, max_bounces: int
+) -> tuple[Array, Array]:
+    """All U(0,1) draws a (pixel, sample) ray consumes, in ONE threefry
+    batch per ray (camera jitter + every bounce's draws), minimizing the
+    per-bounce RNG cost inside the scan.
 
-    Draw slots are fixed per bounce so the consumption pattern is
-    identical between the jitted f32 renderer and the f64 oracle.
+    Layout (fixed, shared with the f64 oracle): draw j of bounce b lives
+    at flat index n_cam + b * n_bounce + j.
+
+    Returns (cam_draws (n_cam, B), bounce_draws (max_bounces, n_bounce, B)).
     """
+    total = n_cam + max_bounces * n_bounce
+
     def draw(k):
-        return jax.random.uniform(jax.random.fold_in(k, bounce), (n,))
+        return jax.random.uniform(k, (total,))
 
-    return jax.vmap(draw)(ray_keys).T
-
-
-def camera_uniforms(ray_keys: Array, n: int = 4) -> Array:
-    """Per-(pixel, sample) camera draws (pixel jitter u/v, aperture dx/dy):
-    (B, 2) keys -> (n, B). Uses bounce slot -1 so it never collides with
-    bounce draws."""
-    def draw(k):
-        return jax.random.uniform(jax.random.fold_in(k, 0x7FFFFFFF), (n,))
-
-    return jax.vmap(draw)(ray_keys).T
+    d = jax.vmap(draw)(ray_keys)  # (B, total)
+    cam = d[:, :n_cam].T
+    bounce = d[:, n_cam:].reshape(-1, max_bounces, n_bounce).transpose(1, 2, 0)
+    return cam, bounce

@@ -273,7 +273,8 @@ class RenderConfig:
     focus_distance: float = 3.0     # focus_distance (main.c:304)
     aperture_x: float = 0.0         # ouverture_x
     aperture_y: float = 0.0         # ouverture_y
-    ior_stack_depth: int = 8        # fixed-K replacement for pile.h
+    ior_stack_depth: int = 8        # kept for spec compat; pile.h reduces to one
+                                    # carried medium_n2 scalar (see integrator.path)
     hsl_l_factor: float = 1.0       # emissive HSL boost (main.c:156; 1.2 in CUDA)
     hsl_s_factor: float = 1.0
     bright_boost: float = 1.3       # throughput boost hack (main.c:214-216)

@@ -19,6 +19,16 @@ differentiable computation. Reproduced semantics, bounce by bounce:
     that entries pushed on entry are never popped (the stack leaks) and
     that exits therefore refract with n1 == n2 (straight pass-through).
     A refraction event `continue`s: no light accumulation that bounce.
+
+    NOTE: because every exit pops exactly the pair it just pushed
+    (main.c:171-181 always pushes before the exit test), nothing below
+    the stack top is ever read again — the linked list is write-only
+    except its top. The full (B, K) array stack therefore reduces
+    exactly to ONE carried scalar per ray, ``medium_n2`` (= top.n2):
+    entry refracts (n1=medium_n2, n2=mat.ior) then sets
+    medium_n2 := mat.ior; exit refracts (n1=mat.ior, n2=medium_n2) and
+    leaves medium_n2 unchanged. This reproduces pile.h bit-for-bit at a
+    fraction of the state and compute.
   * Alpha cutout (< 1e-4): the ray passes through unchanged
     (main.c:200-206), skipping accumulation.
   * Light accumulation with the x1.3 *double-multiply* brightness hack
@@ -58,18 +68,12 @@ class TraceState(NamedTuple):
     active: Array        # (B,) bool — ray still bouncing
     is_alpha: Array      # (B,) bool — last event was a cutout pass-through
     alpha_depth: Array   # (B,) int32
-    stack_n1: Array      # (B, K) IOR stack (pile.h as fixed-depth arrays)
-    stack_n2: Array      # (B, K)
-    stack_ptr: Array     # (B,) int32 index of top
+    medium_n2: Array     # (B,) the pile.h stack reduced to its live top.n2
 
 
-def init_state(origin: Vec3, direction: Vec3, k: int) -> TraceState:
+def init_state(origin: Vec3, direction: Vec3) -> TraceState:
     b = origin.x.shape[0]
     zeros = Vec3.zeros((b,))
-    # tracer() starts with empiler(n_pile, 1.0, 1.0) (main.c:128-129):
-    # slot 0 holds (1, 1) = vacuum/air and ptr points at it.
-    sn1 = jnp.zeros((b, k), jnp.float32).at[:, 0].set(1.0)
-    sn2 = jnp.zeros((b, k), jnp.float32).at[:, 0].set(1.0)
     return TraceState(
         origin=origin,
         direction=direction,
@@ -80,21 +84,14 @@ def init_state(origin: Vec3, direction: Vec3, k: int) -> TraceState:
         active=jnp.ones((b,), bool),
         is_alpha=jnp.zeros((b,), bool),
         alpha_depth=jnp.zeros((b,), jnp.int32),
-        stack_n1=sn1,
-        stack_n2=sn2,
-        stack_ptr=jnp.zeros((b,), jnp.int32),
+        # empiler(n_pile, 1.0, 1.0) (main.c:128-129): start in vacuum/air
+        medium_n2=jnp.ones((b,), jnp.float32),
     )
 
 
-def _stack_top(state: TraceState) -> tuple[Array, Array]:
-    k = state.stack_n1.shape[1]
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, state.stack_n1.shape, 1)
-        == state.stack_ptr[:, None]
-    )
-    n1 = jnp.sum(jnp.where(onehot, state.stack_n1, 0.0), axis=1)
-    n2 = jnp.sum(jnp.where(onehot, state.stack_n2, 0.0), axis=1)
-    return n1, n2
+def n_bounce_draws(cfg: RenderConfig) -> int:
+    """U(0,1) draws consumed per bounce (diffuse u/v, roulette, AO pairs)."""
+    return 3 + 2 * (cfg.ao_samples if cfg.use_ao else 0)
 
 
 def trace(
@@ -102,19 +99,19 @@ def trace(
     cfg: RenderConfig,
     origin: Vec3,
     direction: Vec3,
-    ray_keys: Array,
+    bounce_draws: Array,
 ) -> tuple[Vec3, Vec3, Vec3]:
     """Estimate (radiance, albedo AOV, normal AOV) for a batch of rays.
 
-    ray_keys: (B, 2) per-(pixel, sample) threefry keys; bounce draws are
-    derived by folding the bounce index so the consumption pattern matches
-    the f64 oracle exactly.
+    bounce_draws: (max_bounces, n_bounce_draws(cfg), B) U(0,1) draws from
+    rng.ray_uniforms — pregenerated in one threefry batch per ray and fed
+    to the scan as xs, so the consumption pattern matches the f64 oracle
+    exactly.
     """
     geom = precompute(scene.triangles) if scene.triangles.count > 0 else None
-    n_draws = 3 + 2 * (cfg.ao_samples if cfg.use_ao else 0)
 
-    def bounce(state: TraceState, i: Array) -> tuple[TraceState, None]:
-        draws = rng.bounce_uniforms(ray_keys, i, n_draws)  # (n_draws, B)
+    def bounce(state: TraceState, xs) -> tuple[TraceState, None]:
+        i, draws = xs  # draws: (n_draws, B)
         hit = closest_hit(scene, geom, state.origin, state.direction, cfg)
         mat = hit.mat
         active = state.active
@@ -160,21 +157,13 @@ def trace(
         exiting = state.direction.dot(hit.normal) > 0.0
         normal_eff = Vec3.where(exiting, -hit.normal, hit.normal)
 
-        k = cfg.ior_stack_depth
-        _, cur_n2 = _stack_top(state)  # current medium = top.n2 (pile.h:64-69)
-        ptr_push = jnp.minimum(state.stack_ptr + 1, k - 1)
-        slot = (
-            jax.lax.broadcasted_iota(jnp.int32, state.stack_n1.shape, 1)
-            == ptr_push[:, None]
-        ) & refr_case[:, None]
-        stack_n1 = jnp.where(slot, cur_n2[:, None], state.stack_n1)
-        stack_n2 = jnp.where(slot, mat.ior[:, None], state.stack_n2)
-        # exiting pops the pushed pair (main.c:178-181); net ptr unchanged
-        stack_ptr = jnp.where(
-            refr_case, jnp.where(exiting, state.stack_ptr, ptr_push), state.stack_ptr
-        )
+        # pile.h reduced to its live top (see module docstring): entry
+        # refracts (medium_n2 -> mat.ior) and enters the new medium; exit
+        # refracts (mat.ior -> medium_n2) and stays in the same medium.
+        cur_n2 = state.medium_n2
         n1 = jnp.where(exiting, mat.ior, cur_n2)
         n2 = jnp.where(exiting, cur_n2, mat.ior)
+        medium_n2 = jnp.where(refr_case & ~exiting, mat.ior, cur_n2)
 
         refr_dir = refract(state.direction, normal_eff, n1, n2)
         do_refract = refr_case & (draws[2] > mat.alpha)
@@ -243,14 +232,14 @@ def trace(
             active=active,
             is_alpha=is_alpha,
             alpha_depth=alpha_depth,
-            stack_n1=stack_n1,
-            stack_n2=stack_n2,
-            stack_ptr=stack_ptr,
+            medium_n2=medium_n2,
         )
         return new_state, None
 
-    state0 = init_state(origin, direction, cfg.ior_stack_depth)
+    state0 = init_state(origin, direction)
     final, _ = jax.lax.scan(
-        bounce, state0, jnp.arange(cfg.max_bounces, dtype=jnp.int32)
+        bounce,
+        state0,
+        (jnp.arange(cfg.max_bounces, dtype=jnp.int32), bounce_draws),
     )
     return final.incoming, final.albedo, final.normal_aov

@@ -47,10 +47,10 @@ def sample_rays(
     cam: Camera,
     cfg: RenderConfig,
     pixel_ids: Array,
-    ray_keys: Array,
+    draws: Array,
 ):
-    """Generate one camera ray per pixel id for one sample index."""
-    draws = rng.camera_uniforms(ray_keys, 4)  # (4, B)
+    """Generate one camera ray per pixel id for one sample index.
+    draws: (4, B) U(0,1) camera draws from rng.ray_uniforms."""
     i = (pixel_ids % cfg.width).astype(jnp.float32)
     j = (pixel_ids // cfg.width).astype(jnp.float32)
     u = (i + (draws[0] - 0.5)) / (cfg.width - 1)
@@ -87,10 +87,15 @@ def render(
             jnp.zeros((), jnp.int32),
         )
 
+    from raytpu.integrator.path import n_bounce_draws
+
     def sample_step(sums: RenderSums, s: Array):
         ray_keys = rng.sample_keys(pix_keys, s)
-        origin, direction = sample_rays(cam, cfg, pixel_ids, ray_keys)
-        rad, alb, nrm = trace(scene, cfg, origin, direction, ray_keys)
+        cam_draws, bounce_draws = rng.ray_uniforms(
+            ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
+        )
+        origin, direction = sample_rays(cam, cfg, pixel_ids, cam_draws)
+        rad, alb, nrm = trace(scene, cfg, origin, direction, bounce_draws)
         return (
             RenderSums(
                 sums.radiance + rad,

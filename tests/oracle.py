@@ -284,7 +284,7 @@ def closest_hit(scene: OScene, ro, rd):
 # --- the tracer (main.c:118-242) ----------------------------------------
 def tracer(scene: OScene, ro, rd, cfg, draws_per_bounce):
     """draws_per_bounce: list of np f64 arrays, one per bounce, matching
-    rng.bounce_uniforms slot order: [diffuse_u, diffuse_v, refr_rnd,
+    rng.ray_uniforms bounce slot order: [diffuse_u, diffuse_v, refr_rnd,
     ao_u0, ao_v0, ...]."""
     incoming = np.zeros(3)
     ray_color = np.ones(3)
@@ -399,9 +399,12 @@ def render_oracle(scene_jax, cam, cfg, key):
 
     for s in range(cfg.spp):
         ray_keys = rtrng.sample_keys(pix_keys, s)
-        cam_draws = np.asarray(rtrng.camera_uniforms(ray_keys, 4), np.float64)
+        cam_jax, bounce_jax = rtrng.ray_uniforms(
+            ray_keys, 4, n_draws, cfg.max_bounces
+        )
+        cam_draws = np.asarray(cam_jax, np.float64)
         bounce_draws = [
-            np.asarray(rtrng.bounce_uniforms(ray_keys, i, n_draws), np.float64)
+            np.asarray(bounce_jax[i], np.float64)
             for i in range(cfg.max_bounces)
         ]
         for p in range(h * w):
