@@ -1,35 +1,123 @@
-"""TPU-friendly 1-D gather.
+"""TPU-fast gathers.
 
-Empirical Mosaic/XLA-TPU behavior (measured on v5e, jax 0.9): a 1-D
-gather ``jnp.take(table, idx)`` with a (B,) index vector compiles in
-O(minutes) when the table has roughly 128..1023 elements (e.g. 256: 348s,
-128: 76s), while tiny tables (<= 64) and 2-D tables shaped (rows, 128)
-with >= 8 rows compile in under a second and run fast. One-hot matmul
-gathers are even worse (464s compile).
+Empirical Mosaic/XLA-TPU behavior (measured on v5e, jax 0.9, in-jit
+loops so dispatch latency doesn't pollute the numbers, B=122880):
 
-``gather1d`` therefore routes every gather to a fast-compiling form:
-tables <= 64 entries use plain take; anything larger is zero-padded to a
-(max(rows, 8), 128) layout and indexed with (idx // 128, idx % 128).
-The pad/reshape is loop-invariant, so XLA hoists it out of scan bodies.
+  | formulation                     | compile   | warm runtime        |
+  |---------------------------------|-----------|---------------------|
+  | take from (N<=64,)              | ~1s       | 0.3ms (select tree) |
+  | take from (N,) 1-D, N large     | 1-6 MIN   | ~1ms                |
+  | 2-D t[i//128, i%128]            | ~1s       | ~20ms (scalar path) |
+  | row-gather take((N,4), axis=0)  | 344s      | 3.3ms               |
+  | row-gather take((N,32), axis=0) | 124s      | 3.3ms               |
+  | row-gather take((N,128),axis=0) | **1.4s**  | **3.4ms for ALL 128 cols** |
+
+The ONLY formulation that both compiles fast and runs fast is a
+row-gather whose gathered rows are exactly 128 lanes wide. Every gather
+here is therefore routed to one of three layouts:
+
+  1. N <= 64: plain take (fast select-tree path).
+  2. N <= ROW_LIMIT: channel-lane layout — stack up to 128 channels as
+     the lanes of an (N, 128) table, ONE row-gather fetches every
+     channel, extraction is a free static slice.
+  3. N > ROW_LIMIT (large textures): interleaved layout — pack
+     ceil128(C) channels x (128 / ceil128(C)) entries per row; one
+     row-gather + a one-hot lane extraction per channel (a handful of
+     cheap vector ops). Memory stays ~C/ceil128(C) of layout 1.
+
+All paths are plain take/where/multiply/sum — differentiable w.r.t. the
+table values and fast-compiling.
 """
 
 from __future__ import annotations
 
+from typing import Sequence
+
+import jax
 import jax.numpy as jnp
 from jax import Array
 
-_LANE = 128
-_MIN_ROWS = 8
+LANE = 128
+SMALL = 64          # <= this: XLA's select-tree take is fastest
+ROW_LIMIT = 65536   # channel-lane layout memory cap: 65536*128*4B = 32MB
+
+
+def _cast_f32(t: Array) -> tuple[Array, object]:
+    dt = t.dtype
+    if dt == jnp.float32:
+        return t, None
+    return t.astype(jnp.float32), dt
+
+
+def _uncast(v: Array, dt) -> Array:
+    if dt is None:
+        return v
+    if dt == jnp.bool_:
+        return v > 0.5
+    if jnp.issubdtype(dt, jnp.integer):
+        # int values round-trip exactly through f32 below 2^24
+        return jnp.round(v).astype(dt)
+    return v.astype(dt)
+
+
+def gather_channels(tables: Sequence[Array], idx: Array) -> list[Array]:
+    """Gather C 1-D tables (same length N) at a shared index vector.
+
+    Returns [tables[c][idx] for c], computed with ONE hardware gather
+    for all channels whenever N > SMALL.
+    """
+    tables = list(tables)
+    if not tables:
+        return []
+    n = tables[0].shape[0]
+    c = len(tables)
+    if n == 0:
+        raise ValueError("gather from empty table")
+    if n <= SMALL:
+        return [jnp.take(t, idx, axis=0) for t in tables]
+    if c > LANE:
+        out = []
+        for k in range(0, c, LANE):
+            out.extend(gather_channels(tables[k : k + LANE], idx))
+        return out
+
+    cast = [_cast_f32(t) for t in tables]
+
+    if n <= ROW_LIMIT:
+        # layout 2: (N, 128), channels on lanes
+        tbl = jnp.stack([t for t, _ in cast], axis=1)
+        tbl = jnp.pad(tbl, ((0, 0), (0, LANE - c)))
+        rows = jnp.take(tbl, idx, axis=0)          # (B, 128) — ONE gather
+        return [
+            _uncast(rows[:, i], dt) for i, (_, dt) in enumerate(cast)
+        ]
+
+    # layout 3: interleaved — cpad channels x (128 // cpad) entries/row
+    cpad = 1
+    while cpad < c:
+        cpad *= 2
+    per_row = LANE // cpad
+    n_rows = -(-n // per_row)
+    stacked = jnp.stack([t for t, _ in cast], axis=1)  # (N, C)
+    stacked = jnp.pad(
+        stacked, ((0, n_rows * per_row - n), (0, cpad - c))
+    )  # (n_rows*per_row, cpad)
+    tbl = stacked.reshape(n_rows, LANE)
+    row = idx // per_row
+    slot = idx % per_row                                # entry within row
+    rows = jnp.take(tbl, row, axis=0)                   # (B, 128)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    base = slot[:, None] * cpad
+    out = []
+    for i, (_, dt) in enumerate(cast):
+        v = jnp.sum(jnp.where(lane_ids == base + i, rows, 0.0), axis=1)
+        out.append(_uncast(v, dt))
+    return out
 
 
 def gather1d(table: Array, idx: Array) -> Array:
-    """table (N,), idx (...,) int -> (...,) table[idx], TPU-fast-compiling."""
+    """table (N,), idx (...,) int -> table[idx]; TPU-fast in compile AND
+    runtime. Prefer gather_channels when several tables share the index."""
     if table.ndim != 1:
         return jnp.take(table, idx, axis=0)
-    n = table.shape[0]
-    if n <= 64:
-        return jnp.take(table, idx, axis=0)
-    rows = max(-(-n // _LANE), _MIN_ROWS)
-    pad = rows * _LANE - n
-    t2 = jnp.pad(table, (0, pad)).reshape(rows, _LANE)
-    return t2[idx // _LANE, idx % _LANE]
+    return gather_channels([table], idx)[0]

@@ -57,16 +57,17 @@ class Materials:
         return Materials(Vec3(z, z, z), Vec3(z, z, z), z, z, z, z)
 
     def take(self, idx: Array) -> "Materials":
-        from raytpu.core.gather import gather1d
+        from raytpu.core.gather import gather_channels
 
-        return Materials(
-            self.diffuse.take(idx),
-            self.emission.take(idx),
-            gather1d(self.emission_strength, idx),
-            gather1d(self.reflection, idx),
-            gather1d(self.alpha, idx),
-            gather1d(self.ior, idx),
+        (dx, dy, dz, ex, ey, ez, es, rf, al, io) = gather_channels(
+            [
+                self.diffuse.x, self.diffuse.y, self.diffuse.z,
+                self.emission.x, self.emission.y, self.emission.z,
+                self.emission_strength, self.reflection, self.alpha, self.ior,
+            ],
+            idx,
         )
+        return Materials(Vec3(dx, dy, dz), Vec3(ex, ey, ez), es, rf, al, io)
 
     @staticmethod
     def where(mask: Array, a: "Materials", b: "Materials") -> "Materials":
@@ -288,6 +289,11 @@ class RenderConfig:
     # execution shape
     pixel_tile: int = 16384          # rays per wavefront
     sample_chunk: int = 1            # samples traced per scan step
+    # kernel selection: fused Pallas closest-hit (kernels/intersect.py)
+    # vs the XLA distance-matrix path; pallas_interpret runs the kernel
+    # in interpreter mode (CPU testing)
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @property
     def n_pixels(self) -> int:

@@ -148,14 +148,11 @@ class Vec3(NamedTuple):
     # indexing / structural helpers
     # ------------------------------------------------------------------
     def take(self, idx: Array) -> "Vec3":
-        """Gather along the leading axis (TPU-fast via gather1d)."""
-        from raytpu.core.gather import gather1d
+        """Gather along the leading axis (TPU-fast: one row-gather for
+        all three components via gather_channels)."""
+        from raytpu.core.gather import gather_channels
 
-        return Vec3(
-            gather1d(self.x, idx),
-            gather1d(self.y, idx),
-            gather1d(self.z, idx),
-        )
+        return Vec3(*gather_channels([self.x, self.y, self.z], idx))
 
     def reshape(self, shape) -> "Vec3":
         return Vec3(

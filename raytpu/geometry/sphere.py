@@ -55,3 +55,27 @@ def sphere_distances(
 def sphere_normal(hit_point: Vec3, center: Vec3) -> Vec3:
     """Outward normal normalize(p - c) (sphere.h:33, 42)."""
     return (hit_point - center).normalize()
+
+
+def sphere_distance_one(
+    origin: Vec3, direction: Vec3, center: Vec3, radius: Array, eps: float = 1e-4
+) -> Array:
+    """Per-ray distance to ONE (already gathered) sphere: all args (B,).
+
+    Same math as sphere_distances but elementwise — used to recompute the
+    winning primitive's distance differentiably after a stop_gradient'd
+    argmin selected it (so the backward pass needs no (B, S) residuals).
+    """
+    oc = origin - center
+    a = direction.dot(direction)
+    b = 2.0 * oc.dot(direction)
+    c = oc.dot(oc) - radius * radius
+    disc = b * b - 4.0 * a * c
+    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 1e-30))
+    inv_2a = 0.5 / jnp.maximum(a, 1e-20)
+    t1 = (-b - sqrt_disc) * inv_2a
+    t2 = (-b + sqrt_disc) * inv_2a
+    hit = disc > 0.0
+    return jnp.where(
+        hit & (t1 >= eps), t1, jnp.where(hit & (t2 >= eps), t2, INF)
+    )

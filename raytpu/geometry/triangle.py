@@ -91,6 +91,31 @@ def triangle_distances(
     return jnp.where(valid, dst, INF)
 
 
+def triangle_distance_one(
+    origin: Vec3,
+    direction: Vec3,
+    a: Vec3,
+    edge_ab: Vec3,
+    edge_ac: Vec3,
+    normal_raw: Vec3,
+    det_eps: float = 1e-6,
+    eps: float = 1e-7,
+) -> Array:
+    """Per-ray distance to ONE (already gathered) triangle: all args (B,).
+    Elementwise twin of triangle_distances for the recompute-the-winner
+    backward trick (see sphere_distance_one)."""
+    ao = origin - a
+    dao = ao.cross(direction)
+    det = -direction.dot(normal_raw)
+    inv_det = 1.0 / jnp.where(det >= det_eps, det, 1.0)
+    dst = ao.dot(normal_raw) * inv_det
+    u = edge_ac.dot(dao) * inv_det
+    v = -edge_ab.dot(dao) * inv_det
+    w = 1.0 - u - v
+    valid = (det >= det_eps) & (dst >= eps) & (u >= eps) & (v >= eps) & (w >= eps)
+    return jnp.where(valid, dst, INF)
+
+
 class AABB(NamedTuple):
     """Axis-aligned box (BBox, triangle.hu:8-11)."""
 

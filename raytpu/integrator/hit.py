@@ -14,14 +14,24 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
-from raytpu.core.gather import gather1d
+from raytpu.core.gather import gather1d, gather_channels
 from raytpu.core.types import Materials, RenderConfig, Scene
 from raytpu.core.vec3 import Vec3
-from raytpu.geometry.sphere import sphere_distances, sphere_normal
-from raytpu.geometry.triangle import TriangleGeom, precompute, triangle_distances
+from raytpu.geometry.sphere import (
+    sphere_distance_one,
+    sphere_distances,
+    sphere_normal,
+)
+from raytpu.geometry.triangle import (
+    TriangleGeom,
+    precompute,
+    triangle_distance_one,
+    triangle_distances,
+)
 from raytpu.materials.texture import sky_emission, triangle_material
 
 
@@ -48,34 +58,103 @@ def closest_hit(
     n_tris = scene.triangles.count
     inf = jnp.full((b,), jnp.inf, jnp.float32)
 
-    # --- spheres -------------------------------------------------------
-    if n_spheres > 0:
-        s_dists = sphere_distances(
-            origin, direction, scene.spheres.center, scene.spheres.radius,
-            eps=cfg.sphere_eps,
-        )
-        s_idx = jnp.argmin(s_dists, axis=1)
-        s_t = jnp.min(s_dists, axis=1)
-    else:
-        s_idx = jnp.zeros((b,), jnp.int32)
-        s_t = inf
+    # Winner SELECTION runs under stop_gradient (argmin/min over the
+    # (B, prims) matrices carries no useful gradient and would otherwise
+    # force XLA to keep the whole matrix as a backward residual); the
+    # winner's distance is then RECOMPUTED elementwise from the gathered
+    # primitive, which is bitwise the same value in f32 and fully
+    # differentiable w.r.t. ray + primitive parameters.
+    sg = jax.lax.stop_gradient
+    o_sg, d_sg = jax.tree.map(sg, (origin, direction))
 
-    # --- triangles -----------------------------------------------------
-    if n_tris > 0:
-        if geom is None:
-            geom = precompute(scene.triangles)
-        t_dists = triangle_distances(
-            origin, direction, geom, det_eps=cfg.tri_det_eps, eps=cfg.tri_eps
+    if n_tris > 0 and geom is None:
+        geom = precompute(scene.triangles)
+
+    if cfg.use_pallas:
+        # fused VMEM-resident selection (raytpu.kernels.intersect)
+        from raytpu.kernels.intersect import pallas_select
+
+        best_t, best_idx = pallas_select(
+            jax.tree.map(sg, scene), jax.tree.map(sg, geom), o_sg, d_sg,
+            cfg.sphere_eps, cfg.tri_det_eps, cfg.tri_eps,
+            interpret=cfg.pallas_interpret,
         )
-        t_idx = jnp.argmin(t_dists, axis=1)
-        t_t = jnp.min(t_dists, axis=1)
+        found = best_idx >= 0
+        tri_wins = best_idx >= n_spheres
+        s_idx = jnp.where(tri_wins | ~found, 0, best_idx)
+        t_idx = jnp.where(tri_wins, best_idx - n_spheres, 0)
     else:
-        t_idx = jnp.zeros((b,), jnp.int32)
+        # XLA fallback: (B, prims) distance matrices + first-occurrence
+        # argmin (ties resolve to the earlier primitive, like the scan).
+        # Only the ARGMIN is reduced from the matrix — the winning
+        # distances come from the recompute below, so no jnp.min pass is
+        # needed (the variadic min+argmin reduce costs ~4x a plain
+        # argmin on this backend). tri_wins/found are derived after the
+        # recompute; ``None`` marks them pending.
+        if n_spheres > 0:
+            s_dists = sphere_distances(
+                o_sg, d_sg, sg(scene.spheres.center), sg(scene.spheres.radius),
+                eps=cfg.sphere_eps,
+            )
+            s_idx = jnp.argmin(s_dists, axis=1)
+        else:
+            s_idx = jnp.zeros((b,), jnp.int32)
+        if n_tris > 0:
+            t_dists = triangle_distances(
+                o_sg, d_sg, jax.tree.map(sg, geom),
+                det_eps=cfg.tri_det_eps, eps=cfg.tri_eps,
+            )
+            t_idx = jnp.argmin(t_dists, axis=1)
+        else:
+            t_idx = jnp.zeros((b,), jnp.int32)
+        found = tri_wins = None
+
+    # --- differentiable recompute of the winner's distance -------------
+    if n_spheres > 0:
+        centers = scene.spheres.center.take(s_idx)
+        radii = gather1d(scene.spheres.radius, s_idx)
+        s_t = sphere_distance_one(
+            origin, direction, centers, radii, eps=cfg.sphere_eps
+        )
+    else:
+        s_t = inf
+    if n_tris > 0:
+        # ALL per-triangle data the bounce needs, in ONE row-gather
+        # (gather_channels packs the channels into an (T, 128) table)
+        tris = scene.triangles
+        chans = [
+            geom.a.x, geom.a.y, geom.a.z,
+            geom.edge_ab.x, geom.edge_ab.y, geom.edge_ab.z,
+            geom.edge_ac.x, geom.edge_ac.y, geom.edge_ac.z,
+            geom.normal_raw.x, geom.normal_raw.y, geom.normal_raw.z,
+        ]
+        if with_material:
+            chans += [
+                tris.b.x, tris.b.y, tris.b.z,
+                tris.c.x, tris.c.y, tris.c.z,
+                tris.ua, tris.va, tris.ub, tris.vb, tris.uc, tris.vc,
+                tris.mat_id,
+            ]
+        g = gather_channels(chans, t_idx)
+        win_a = Vec3(g[0], g[1], g[2])
+        win_ab = Vec3(g[3], g[4], g[5])
+        win_ac = Vec3(g[6], g[7], g[8])
+        win_nraw = Vec3(g[9], g[10], g[11])
+        t_t = triangle_distance_one(
+            origin, direction, win_a, win_ab, win_ac, win_nraw,
+            det_eps=cfg.tri_det_eps, eps=cfg.tri_eps,
+        )
+    else:
         t_t = inf
 
-    # spheres scanned first; triangle replaces only on strictly smaller dst
-    tri_wins = t_t < s_t
-    dst = jnp.where(tri_wins, t_t, s_t)
+    if tri_wins is None:
+        # spheres scanned first; triangle wins only on strictly smaller
+        # dst (main.c:52-92 tie-break), judged on the recomputed values
+        # (bitwise equal to the matrix entries)
+        tri_wins = t_t < s_t
+        found = jnp.isfinite(jnp.where(tri_wins, t_t, s_t))
+
+    dst = jnp.where(found, jnp.where(tri_wins, t_t, s_t), jnp.inf)
     did_hit = jnp.isfinite(dst)
     safe_dst = jnp.where(did_hit, dst, 0.0)
     point = origin + direction * safe_dst
@@ -89,13 +168,11 @@ def closest_hit(
     mat = Materials.zeros((b,))
 
     if n_spheres > 0:
-        centers = scene.spheres.center.take(s_idx)
         n_s = sphere_normal(point, centers)
         m_s = scene.spheres.mat.take(s_idx)
         if scene.sky_sphere_index >= 0 and scene.sky.rgb.x.shape[0] > 0:
             # textured sky emission (sphere_uvmapping path, texture.h:92-112;
             # commented out in main.c:64-71 — enabled via sky_sphere_index)
-            radii = gather1d(scene.spheres.radius, s_idx)
             sky_rgb = sky_emission(scene.sky, point, centers, radii)
             is_sky = s_idx == scene.sky_sphere_index
             m_s = m_s.replace(emission=Vec3.where(is_sky, sky_rgb, m_s.emission))
@@ -104,18 +181,14 @@ def closest_hit(
         mat = Materials.where(sphere_sel, m_s, mat)
 
     if n_tris > 0:
-        tris = scene.triangles
-        a = tris.a.take(t_idx)
-        bb = tris.b.take(t_idx)
-        c = tris.c.take(t_idx)
-        n_t = geom.normal.take(t_idx)
+        # channels gathered above; normalize(normal_raw) is bitwise the
+        # same as gathering the precomputed unit normal
+        n_t = win_nraw.normalize()
         m_t = triangle_material(
-            a, bb, c,
-            (gather1d(tris.ua, t_idx), gather1d(tris.va, t_idx)),
-            (gather1d(tris.ub, t_idx), gather1d(tris.vb, t_idx)),
-            (gather1d(tris.uc, t_idx), gather1d(tris.vc, t_idx)),
+            win_a, Vec3(g[12], g[13], g[14]), Vec3(g[15], g[16], g[17]),
+            (g[18], g[19]), (g[20], g[21]), (g[22], g[23]),
             n_t, point,
-            gather1d(tris.mat_id, t_idx),
+            g[24],
             scene.atlas, scene.mat_table,
         )
         tri_sel = did_hit & tri_wins

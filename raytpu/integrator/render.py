@@ -89,13 +89,25 @@ def render(
 
     from raytpu.integrator.path import n_bounce_draws
 
-    def sample_step(sums: RenderSums, s: Array):
+    # One sample's full trace is rematerialized in the backward pass
+    # (jax.checkpoint): without it, reverse-mode through the
+    # (samples x bounces) scan-of-scan keeps every bounce's intermediates
+    # for every sample alive at once — ~tens of GB at production sizes
+    # (it crashes the TPU compiler outright at 1200x900). With remat the
+    # residual footprint is one sample's carry, and each sample's bounce
+    # scan is recomputed during its backward step (HBM-for-FLOPs trade,
+    # SURVEY.md 'jax.checkpoint / rematerialisation').
+    @jax.checkpoint
+    def traced_sample(scene, cam, s):
         ray_keys = rng.sample_keys(pix_keys, s)
         cam_draws, bounce_draws = rng.ray_uniforms(
             ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
         )
         origin, direction = sample_rays(cam, cfg, pixel_ids, cam_draws)
-        rad, alb, nrm = trace(scene, cfg, origin, direction, bounce_draws)
+        return trace(scene, cfg, origin, direction, bounce_draws)
+
+    def sample_step(sums: RenderSums, s: Array):
+        rad, alb, nrm = traced_sample(scene, cam, s)
         return (
             RenderSums(
                 sums.radiance + rad,

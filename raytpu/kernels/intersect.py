@@ -1,0 +1,223 @@
+"""Pallas TPU megakernel: fused closest-hit over spheres + triangles.
+
+The XLA fallback (raytpu.integrator.hit) materializes (B, S) and (B, T)
+distance matrices in HBM every bounce (~40 MB/bounce at production
+sizes) just to argmin-reduce them. This kernel keeps the whole
+primitive-scan in VMEM: each grid step owns a (ROWS, 128) tile of rays,
+the entire (padded) primitive SoA sits in VMEM (~KBs for tipe-raytracer
+scale scenes), and the running (best_t, best_index) pair lives in
+registers — the distance matrix never exists.
+
+Loop structure mirrors closest_hit (/root/reference/main.c:52-92):
+spheres are scanned before triangles and a later primitive replaces the
+winner only on strictly smaller distance, reproducing the reference's
+tie-breaking exactly. Epsilon conventions are the reference's
+(sphere.h:29 root acceptance, mesh.h:88 det/barycentric epsilons),
+baked in as compile-time constants.
+
+The kernel is selection-only (per-ray winner index + distance); the
+differentiable path recomputes the winner's distance elementwise outside
+the kernel (see integrator.hit), so no custom VJP is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.core.types import Scene
+from raytpu.core.vec3 import Vec3
+from raytpu.geometry.triangle import TriangleGeom
+
+LANE = 128
+ROWS = 64           # rays per grid step = ROWS * LANE = 8192
+BIG = 3.0e38        # stand-in for +inf (f32 max ~ 3.4e38)
+
+
+def _pad_rows(x: Array, rows: int) -> Array:
+    pad = rows * LANE - x.shape[0]
+    return jnp.pad(x, (0, pad)).reshape(rows, LANE)
+
+
+def _pad_prims(arrs, n_pad):
+    return jnp.stack([jnp.pad(a, (0, n_pad - a.shape[0])) for a in arrs])
+
+
+def _intersect_kernel(
+    sph_ref, tri_ref, ox, oy, oz, dx, dy, dz, t_out, idx_out,
+    *, n_spheres, n_tris, sphere_eps, det_eps, tri_eps,
+):
+    shape = ox.shape
+    best = jnp.full(shape, BIG, jnp.float32)
+    bidx = jnp.full(shape, -1, jnp.int32)
+
+    rox, roy, roz = ox[:], oy[:], oz[:]
+    rdx, rdy, rdz = dx[:], dy[:], dz[:]
+    # a = |d|^2 is primitive-independent
+    a_quad = rdx * rdx + rdy * rdy + rdz * rdz
+    inv_2a = 0.5 / jnp.maximum(a_quad, 1e-20)
+
+    def sphere_body(s, carry):
+        best, bidx = carry
+        cx, cy, cz, r = sph_ref[0, s], sph_ref[1, s], sph_ref[2, s], sph_ref[3, s]
+        ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+        b = 2.0 * (ocx * rdx + ocy * rdy + ocz * rdz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * a_quad * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sq) * inv_2a
+        t2 = (-b + sq) * inv_2a
+        hit = disc > 0.0
+        t = jnp.where(
+            hit & (t1 >= sphere_eps),
+            t1,
+            jnp.where(hit & (t2 >= sphere_eps), t2, BIG),
+        )
+        better = t < best
+        return jnp.where(better, t, best), jnp.where(better, s, bidx)
+
+    best, bidx = jax.lax.fori_loop(0, n_spheres, sphere_body, (best, bidx))
+
+    def tri_body(t_i, carry):
+        best, bidx = carry
+        ax, ay, az = tri_ref[0, t_i], tri_ref[1, t_i], tri_ref[2, t_i]
+        abx, aby, abz = tri_ref[3, t_i], tri_ref[4, t_i], tri_ref[5, t_i]
+        acx, acy, acz = tri_ref[6, t_i], tri_ref[7, t_i], tri_ref[8, t_i]
+        nx, ny, nz = tri_ref[9, t_i], tri_ref[10, t_i], tri_ref[11, t_i]
+
+        aox, aoy, aoz = rox - ax, roy - ay, roz - az
+        # dao = cross(ao, d)
+        daox = aoy * rdz - aoz * rdy
+        daoy = aoz * rdx - aox * rdz
+        daoz = aox * rdy - aoy * rdx
+
+        det = -(rdx * nx + rdy * ny + rdz * nz)
+        inv_det = 1.0 / jnp.where(det >= det_eps, det, 1.0)
+        dst = (aox * nx + aoy * ny + aoz * nz) * inv_det
+        u = (acx * daox + acy * daoy + acz * daoz) * inv_det
+        v = -(abx * daox + aby * daoy + abz * daoz) * inv_det
+        w = 1.0 - u - v
+        valid = (
+            (det >= det_eps)
+            & (dst >= tri_eps)
+            & (u >= tri_eps)
+            & (v >= tri_eps)
+            & (w >= tri_eps)
+        )
+        t = jnp.where(valid, dst, BIG)
+        better = t < best
+        return (
+            jnp.where(better, t, best),
+            jnp.where(better, n_spheres + t_i, bidx),
+        )
+
+    best, bidx = jax.lax.fori_loop(0, n_tris, tri_body, (best, bidx))
+
+    t_out[:] = best
+    idx_out[:] = bidx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_spheres", "n_tris", "sphere_eps", "det_eps", "tri_eps", "interpret",
+    ),
+)
+def _intersect_call(
+    sph, tri, ox, oy, oz, dx, dy, dz,
+    *, n_spheres, n_tris, sphere_eps, det_eps, tri_eps, interpret,
+):
+    rows = ox.shape[0]
+    grid = (max(rows // ROWS, 1),)
+    block_rows = min(ROWS, rows)
+    ray_spec = pl.BlockSpec(
+        (block_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    # primitive SoA tables live in SMEM: the kernel reads them one scalar
+    # at a time at dynamic indices, which VMEM lanes cannot do
+    prim_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(
+        _intersect_kernel,
+        n_spheres=n_spheres,
+        n_tris=n_tris,
+        sphere_eps=sphere_eps,
+        det_eps=det_eps,
+        tri_eps=tri_eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[prim_spec, prim_spec] + [ray_spec] * 6,
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(sph, tri, ox, oy, oz, dx, dy, dz)
+
+
+def pallas_select(
+    scene: Scene,
+    geom: TriangleGeom | None,
+    origin: Vec3,
+    direction: Vec3,
+    sphere_eps: float,
+    det_eps: float,
+    tri_eps: float,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Winner selection for a ray batch: (best_t (B,), best_idx (B,)).
+
+    best_idx < n_spheres selects a sphere, otherwise triangle
+    best_idx - n_spheres; -1 = miss (best_t >= BIG). Not differentiable
+    (callers recompute the winner's distance, integrator.hit).
+    """
+    b = origin.x.shape[0]
+    n_s = scene.spheres.count
+    n_t = scene.triangles.count
+
+    rows = max(-(-b // LANE), 8)
+    # pad rows so the grid divides evenly
+    rows = -(-rows // ROWS) * ROWS if rows > 8 else rows
+
+    ox, oy, oz = (_pad_rows(c, rows) for c in origin)
+    dx, dy, dz = (_pad_rows(c, rows) for c in direction)
+
+    s_pad = max(-(-n_s // LANE) * LANE, LANE)
+    sph = _pad_prims(
+        [
+            scene.spheres.center.x,
+            scene.spheres.center.y,
+            scene.spheres.center.z,
+            scene.spheres.radius,
+        ],
+        s_pad,
+    )
+    t_pad = max(-(-n_t // LANE) * LANE, LANE)
+    if n_t > 0:
+        tri = _pad_prims(
+            [
+                geom.a.x, geom.a.y, geom.a.z,
+                geom.edge_ab.x, geom.edge_ab.y, geom.edge_ab.z,
+                geom.edge_ac.x, geom.edge_ac.y, geom.edge_ac.z,
+                geom.normal_raw.x, geom.normal_raw.y, geom.normal_raw.z,
+            ],
+            t_pad,
+        )
+    else:
+        tri = jnp.zeros((12, t_pad), jnp.float32)
+
+    best_t, best_idx = _intersect_call(
+        sph, tri, ox, oy, oz, dx, dy, dz,
+        n_spheres=n_s, n_tris=n_t,
+        sphere_eps=sphere_eps, det_eps=det_eps, tri_eps=tri_eps,
+        interpret=interpret,
+    )
+    return best_t.reshape(-1)[:b], best_idx.reshape(-1)[:b]

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-from raytpu.core.gather import gather1d
+from raytpu.core.gather import gather1d, gather_channels
 from raytpu.core.types import MatTable, Materials, SkyTexture, TextureAtlas
 from raytpu.core.vec3 import Vec3
 from raytpu.geometry.triangle import barycentric
@@ -39,9 +39,10 @@ def atlas_fetch(
     x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
     idx = (y * w + x) + (h * w) * mat_id
-    rgb = atlas.rgb.take(idx)
-    alpha = gather1d(atlas.alpha, idx)
-    return rgb, alpha
+    r, g, b, alpha = gather_channels(
+        [atlas.rgb.x, atlas.rgb.y, atlas.rgb.z, atlas.alpha], idx
+    )
+    return Vec3(r, g, b), alpha
 
 
 def triangle_material(
