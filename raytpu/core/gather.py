@@ -31,6 +31,7 @@ table values and fast-compiling.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -40,6 +41,74 @@ from jax import Array
 LANE = 128
 SMALL = 64          # <= this: XLA's select-tree take is fastest
 ROW_LIMIT = 65536   # channel-lane layout memory cap: 65536*128*4B = 32MB
+_BWD_CHUNK = 32768  # rows per one-hot matmul chunk in the gather VJP
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP gathers: XLA's native take-transpose is a serial TPU scatter
+# (~12x a forward render in practice); these backpropagate through an
+# explicit one-hot matmul on the MXU / masked reductions instead.
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _take_small_n(n: int, tbl: Array, idx: Array) -> Array:
+    return jnp.take(tbl, idx, axis=0)
+
+
+def _take_small_fwd(n, tbl, idx):
+    return jnp.take(tbl, idx, axis=0), idx
+
+
+def _take_small_bwd(n, idx, g):
+    # N <= SMALL masked reductions — vector-friendly, no scatter
+    grad = jnp.stack(
+        [jnp.sum(jnp.where(idx == i, g, 0.0)) for i in range(n)]
+    )
+    return grad, None
+
+
+_take_small_n.defvjp(_take_small_fwd, _take_small_bwd)
+
+
+def _take_small(tbl: Array, idx: Array) -> Array:
+    return _take_small_n(tbl.shape[0], tbl, idx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _take_rows_n(n: int, tbl: Array, idx: Array) -> Array:
+    """tbl (N, 128) f32, idx (B,) -> (B, 128) row-gather."""
+    return jnp.take(tbl, idx, axis=0)
+
+
+def _take_rows_fwd(n, tbl, idx):
+    return jnp.take(tbl, idx, axis=0), idx
+
+
+def _take_rows_bwd(n, idx, g):
+    b = idx.shape[0]
+    nchunks = -(-b // _BWD_CHUNK)
+    pad = nchunks * _BWD_CHUNK - b
+    # out-of-range index rows one-hot to zero, so padding drops out
+    idx_p = jnp.pad(idx, (0, pad), constant_values=n).reshape(
+        nchunks, _BWD_CHUNK
+    )
+    g_p = jnp.pad(g, ((0, pad), (0, 0))).reshape(nchunks, _BWD_CHUNK, LANE)
+
+    def chunk(acc, xs):
+        ic, gc = xs
+        oh = jax.nn.one_hot(ic, n, dtype=jnp.float32)       # (CH, N)
+        return acc + oh.T @ gc, None                         # MXU (N, 128)
+
+    grad, _ = jax.lax.scan(
+        chunk, jnp.zeros((n, LANE), jnp.float32), (idx_p, g_p)
+    )
+    return grad, None
+
+
+_take_rows_n.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+def _take_rows(tbl: Array, idx: Array) -> Array:
+    return _take_rows_n(tbl.shape[0], tbl, idx)
 
 
 def _cast_f32(t: Array) -> tuple[Array, object]:
@@ -74,7 +143,13 @@ def gather_channels(tables: Sequence[Array], idx: Array) -> list[Array]:
     if n == 0:
         raise ValueError("gather from empty table")
     if n <= SMALL:
-        return [jnp.take(t, idx, axis=0) for t in tables]
+        # custom VJP only for float tables; int/bool carry no gradient
+        return [
+            _take_small(t, idx)
+            if jnp.issubdtype(t.dtype, jnp.floating)
+            else jnp.take(t, idx, axis=0)
+            for t in tables
+        ]
     if c > LANE:
         out = []
         for k in range(0, c, LANE):
@@ -87,7 +162,7 @@ def gather_channels(tables: Sequence[Array], idx: Array) -> list[Array]:
         # layout 2: (N, 128), channels on lanes
         tbl = jnp.stack([t for t, _ in cast], axis=1)
         tbl = jnp.pad(tbl, ((0, 0), (0, LANE - c)))
-        rows = jnp.take(tbl, idx, axis=0)          # (B, 128) — ONE gather
+        rows = _take_rows(tbl, idx)                # (B, 128) — ONE gather
         return [
             _uncast(rows[:, i], dt) for i, (_, dt) in enumerate(cast)
         ]
@@ -105,7 +180,7 @@ def gather_channels(tables: Sequence[Array], idx: Array) -> list[Array]:
     tbl = stacked.reshape(n_rows, LANE)
     row = idx // per_row
     slot = idx % per_row                                # entry within row
-    rows = jnp.take(tbl, row, axis=0)                   # (B, 128)
+    rows = _take_rows(tbl, row)                         # (B, 128)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
     base = slot[:, None] * cpad
     out = []
