@@ -65,6 +65,19 @@ def cmd_render(argv) -> int:
                     help="render over all devices via the (tiles,samples) mesh")
     ap.add_argument("--aov", action="store_true",
                     help="also write <out>_albedo/<out>_normal images")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file: flush accumulators here and "
+                         "resume from it (bit-identical) if present")
+    ap.add_argument("--flush-every", type=int, default=64,
+                    help="samples between checkpoint flushes")
+    ap.add_argument("--preview", default=None,
+                    help="write a preview PNG here at every flush")
+    ap.add_argument("--log-json", action="store_true",
+                    help="structured JSON progress lines")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace into this dir")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the Pallas fused intersection kernel")
     _add_render_overrides(ap)
     args = ap.parse_args(argv)
     scene_name = args.scene_flag or args.scene
@@ -73,20 +86,39 @@ def cmd_render(argv) -> int:
     import numpy as np
 
     from raytpu.config import load_scene
+    from raytpu.observe import RenderMonitor, trace_profile
 
     scene, cam, cfg = load_scene(scene_name)
     cfg = _apply_overrides(cfg, args)
+    if args.pallas:
+        cfg = cfg.replace(use_pallas=True)
     key = jax.random.PRNGKey(args.seed)
 
     t0 = time.perf_counter()
-    if args.sharded:
-        from raytpu.sharding import render_image_sharded
+    with trace_profile(args.profile_dir):
+        if args.checkpoint:
+            from raytpu.io.checkpoint import render_image_checkpointed
 
-        out = render_image_sharded(scene, cam, cfg, key)
-    else:
-        from raytpu.integrator.render import render_image
+            mon = RenderMonitor(
+                cfg, preview_path=args.preview,
+                preview_every=args.flush_every, structured=args.log_json,
+            )
 
-        out = render_image(scene, cam, cfg, key)
+            def log(msg):
+                print(f"[render] {msg}", file=sys.stderr, flush=True)
+
+            out = render_image_checkpointed(
+                scene, cam, cfg, key, args.checkpoint,
+                flush_every=args.flush_every, log=log,
+            )
+        elif args.sharded:
+            from raytpu.sharding import render_image_sharded
+
+            out = render_image_sharded(scene, cam, cfg, key)
+        else:
+            from raytpu.integrator.render import render_image
+
+            out = render_image(scene, cam, cfg, key)
     elapsed = time.perf_counter() - t0
 
     image, canvas = out.image, out.canvas

@@ -45,8 +45,19 @@ class ObjMesh(NamedTuple):
     mat_names: list         # usemtl name per slot (duplicates preserved)
 
 
-def parse_obj(path: str) -> ObjMesh:
-    """list_of_mesh's parse (mesh.h:96-218), single pass."""
+def parse_obj(path: str, use_native: bool = True) -> ObjMesh:
+    """list_of_mesh's parse (mesh.h:96-218), single pass.
+
+    Uses the C++ fast path (raytpu.native) when available; set
+    RAYTPU_NO_NATIVE=1 or use_native=False to force this pure-Python
+    reference implementation. Both are tested for exact agreement.
+    """
+    if use_native and os.environ.get("RAYTPU_NO_NATIVE") != "1":
+        from raytpu.native import parse_obj_native
+
+        mesh = parse_obj_native(path)
+        if mesh is not None:
+            return mesh
     vertices, uvs = [], []
     face_v, face_t, face_mat = [], [], []
     mat_names: list = []

@@ -21,13 +21,25 @@ def write_ppm(path: str, canvas: np.ndarray) -> None:
         np.savetxt(f, flat, fmt="%d")
 
 
-def read_ppm(path: str, bottom_up: bool = True) -> np.ndarray:
+def read_ppm(path: str, bottom_up: bool = True, use_native: bool = True) -> np.ndarray:
     """Read ASCII P3 -> (H, W, 3) float32 in [0, 1].
 
     bottom_up=True stores rows bottom-up like the reference texture
     loaders (texture.h:126: ``for i = height-1 .. 0``), which is the
     layout the UV mapping indexes into.
+
+    Uses the C++ fast path (raytpu.native) when available; set
+    RAYTPU_NO_NATIVE=1 or use_native=False for this pure-Python
+    reference implementation (tested for exact agreement).
     """
+    import os
+
+    if use_native and os.environ.get("RAYTPU_NO_NATIVE") != "1":
+        from raytpu.native import read_ppm_native
+
+        rgb = read_ppm_native(path, bottom_up=bottom_up)
+        if rgb is not None:
+            return rgb
     with open(path, "rb") as f:
         data = f.read()
     tokens = data.split()
