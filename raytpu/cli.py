@@ -59,7 +59,12 @@ def cmd_render(argv) -> int:
     ap = argparse.ArgumentParser(prog="raytpu render")
     ap.add_argument("scene", nargs="?", default="cornell")
     ap.add_argument("--scene", dest="scene_flag", default=None)
-    ap.add_argument("--out", default="render.ppm")
+    ap.add_argument(
+        "--out", default=None,
+        help="output image (.ppm/.png); default follows the reference's "
+             "auto-name <scene>_<spp>RAYS_<bounces>RB_<dd>-<mm>_<HH>h<MM>.ppm "
+             "(main.c:325-328)",
+    )
     ap.add_argument("--denoise", action="store_true")
     ap.add_argument("--sharded", action="store_true",
                     help="render over all devices via the (tiles,samples) mesh")
@@ -93,6 +98,19 @@ def cmd_render(argv) -> int:
     if args.pallas:
         cfg = cfg.replace(use_pallas=True)
     key = jax.random.PRNGKey(args.seed)
+
+    if args.out is None:
+        # auto filename like the reference (main.c:325-328); note the
+        # reference prints nbRebondMax-1 as the RB count
+        import os
+        from datetime import datetime
+
+        tag = os.path.splitext(os.path.basename(scene_name))[0]
+        now = datetime.now()
+        args.out = (
+            f"{tag}_{cfg.spp}RAYS_{cfg.max_bounces - 1}RB_"
+            f"{now:%d-%m_%Hh%M}.ppm"
+        )
 
     t0 = time.perf_counter()
     with trace_profile(args.profile_dir):

@@ -173,6 +173,7 @@ def load_scene(name_or_path: str) -> tuple[Scene, Camera, RenderConfig]:
     builtins = {
         "cornell": builtin.cornell_box,
         "cornell_dof_ao": builtin.cornell_box_dof_ao,
+        "cornell_cuda": builtin.cornell_box_cuda,
     }
     if name_or_path in builtins:
         return builtins[name_or_path]()

@@ -91,6 +91,17 @@ def triangle_material(
     )
 
 
+def checker_value(c1: Vec3, c2: Vec3, scale, p: Vec3) -> Vec3:
+    """Procedural checker (checker_texture_value,
+    /root/reference/texture.h:8-14): floor(p/scale) parity over x+y+z.
+    Unused by the reference's shipped scenes but part of its surface."""
+    x = jnp.floor(p.x / scale).astype(jnp.int32)
+    y = jnp.floor(p.y / scale).astype(jnp.int32)
+    z = jnp.floor(p.z / scale).astype(jnp.int32)
+    even = (x + y + z) % 2 == 0
+    return Vec3.where(even, c1, c2)
+
+
 def sky_emission(
     sky: SkyTexture, hit_point: Vec3, center: Vec3, radius: Array
 ) -> Vec3:

@@ -66,6 +66,36 @@ def cornell_box() -> tuple[Scene, Camera, RenderConfig]:
     return scene, cam, cfg
 
 
+def cornell_box_cuda() -> tuple[Scene, Camera, RenderConfig]:
+    """The CUDA binary's default 10-sphere scene
+    (/root/reference/main_cuda.cu:207-221) with its integrator knobs: the
+    emissive HSL boost of L*=1.2 (main_cuda.cu:89-98) and AO defaults
+    (useAO=true, intensity 3, main_cuda.cu:202-206)."""
+    rows = [
+        ((-501, 0, 0),   500.0, GREEN, BLACK, 0.0, 0.96, 1.0, 1.0),
+        ((0, -501, 0),   500.0, WHITE, BLACK, 0.0, 0.4, 1.0, 1.0),
+        ((501, 0, 0),    500.0, RED,   BLACK, 0.0, 0.96, 1.0, 1.0),
+        ((-0.5, 1.4, -3.0), 0.5, BLACK, (1.0, 0.6, 0.2), 8.0, 0.0, 1.0, 1.0),
+        ((0.5, 1.4, -2.0), 0.5, BLACK, (0.7, 0.2, 1.0), 8.0, 0.0, 1.0, 1.0),
+        ((-0.5, -1.4, -1.5), 0.5, BLACK, (0.55, 0.863, 1.0), 4.5, 0.0, 1.0, 1.0),
+        ((0.5, -1.4, -3.1), 0.5, BLACK, (0.431, 1.0, 0.596), 4.5, 0.0, 1.0, 1.0),
+        ((0, 0, -504),   500.0, WHITE, BLACK, 0.0, 0.0, 1.0, 1.0),
+        ((0, 501, 0),    500.0, WHITE, BLACK, 0.0, 0.0, 1.0, 1.0),
+        ((-0.4, -0.5, -3.3), 0.5, SKY, BLACK, 0.0, 1.0, 1.0, 1.0),
+    ]
+    scene = Scene.from_spheres(spheres_from_rows(rows))
+    # camera literals from main_cuda.cu:176-180
+    cam = make_camera(
+        origin=(-0.7, 0.0, 0.0), target=(0.3, -0.5, -3.0), up=(0.0, 1.0, 0.0),
+        vfov_deg=70.0, aspect_ratio=4.0 / 3.0,
+    )
+    cfg = RenderConfig(
+        width=1000, height=750, spp=1000, max_bounces=5,
+        hsl_l_factor=1.2, use_ao=True, ao_intensity=3.0,
+    )
+    return scene, cam, cfg
+
+
 def cornell_box_dof_ao() -> tuple[Scene, Camera, RenderConfig]:
     """BASELINE config 2: sphere scene + DoF + AO, 800x600, 500 spp."""
     scene, cam, cfg = cornell_box()
