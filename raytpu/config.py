@@ -130,8 +130,8 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
         from raytpu.io.obj import (
             build_atlas,
             mesh_to_triangles,
+            parse_mtl,
             parse_obj,
-            tex_path_from_mtl,
         )
 
         m = spec["mesh"]
@@ -143,9 +143,39 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
         n_mat = max(len(mesh.mat_names), 1)
         if m.get("textures", True) and "mtl" in m and mesh.mat_names:
             mtl_path = os.path.join(base, m["mtl"])
-            paths = [tex_path_from_mtl(mtl_path, n) for n in mesh.mat_names]
-            atlas = build_atlas(paths)
+            mtl = parse_mtl(mtl_path)
+            entries = [mtl.get(n, {}) for n in mesh.mat_names]
+            atlas = build_atlas(
+                [e.get("map_kd") for e in entries],
+                fallback_colors=[e.get("kd") for e in entries],
+                fallback_alphas=[e.get("d") for e in entries],
+            )
         mat_table = _mat_table_from_spec(n_mat, m.get("materials", []))
+        if m.get("mtl_physics", False) and "mtl" in m and mesh.mat_names:
+            # CUDA-fork behavior: reflectionStrength = shininess / 100
+            # (triangle.hu:118-124), applied where the spec didn't
+            # explicitly override reflection
+            import numpy as _np
+
+            mtl = parse_mtl(os.path.join(base, m["mtl"]))
+            ns = _np.array(
+                [
+                    (mtl.get(n, {}).get("ns") or 0.0) / 100.0
+                    for n in mesh.mat_names
+                ],
+                _np.float32,
+            )
+            explicit = {int(o["id"]) for o in m.get("materials", [])
+                        if "reflection" in o}
+            keep = _np.array(
+                [i in explicit for i in range(n_mat)], bool
+            )
+            refl = _np.where(
+                keep, _np.asarray(mat_table.reflection), ns[:n_mat]
+            )
+            mat_table = mat_table.replace(
+                reflection=jnp.asarray(refl, jnp.float32)
+            )
 
     sky = SkyTexture.empty()
     sky_index = -1

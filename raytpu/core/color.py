@@ -88,8 +88,13 @@ def hsl_boost(rgb: Vec3, l_factor: float = 1.0, s_factor: float = 1.0) -> Vec3:
 
     The CPU reference multiplies L and S by 1.0 (identity values, but the
     round-trip itself is applied); the CUDA fork uses L*=1.2
-    (main_cuda.cu:89-98). Factors are config knobs here.
+    (main_cuda.cu:89-98). Factors are config knobs here. The RGB->HSL->RGB
+    round-trip is mathematically the identity, so with both factors at
+    their CPU-reference value of 1.0 the ~40-op round-trip is skipped
+    (difference vs computing it: f32 rounding only).
     """
+    if l_factor == 1.0 and s_factor == 1.0:
+        return rgb
     hsl = rgb_to_hsl(rgb)
     boosted = Vec3(hsl.x, hsl.y * s_factor, hsl.z * l_factor)
     return hsl_to_rgb(boosted)

@@ -209,8 +209,13 @@ def random_unit_vector(u: Array, v: Array) -> Vec3:
     theta = 2*pi*u, phi = acos(2v - 1); the (theta, phi) inversion already
     yields a unit vector, and the reference's extra normalize is a no-op
     that we keep implicitly.
+
+    The acos/sin pair is algebraically eliminated: cos(phi) = 2v-1 and
+    sin(phi) = sqrt(1 - (2v-1)^2) (phi in [0, pi] so sin >= 0) — the
+    identical distribution at two fewer transcendentals per draw. The
+    f64 oracle uses the same form (tests/oracle.py).
     """
     theta = (2.0 * jnp.pi) * u
-    phi = jnp.arccos(jnp.clip(2.0 * v - 1.0, -1.0, 1.0))
-    sin_phi = jnp.sin(phi)
-    return Vec3(jnp.cos(theta) * sin_phi, jnp.sin(theta) * sin_phi, jnp.cos(phi))
+    cos_phi = jnp.clip(2.0 * v - 1.0, -1.0, 1.0)
+    sin_phi = jnp.sqrt(jnp.maximum(1.0 - cos_phi * cos_phi, 0.0))
+    return Vec3(jnp.cos(theta) * sin_phi, jnp.sin(theta) * sin_phi, cos_phi)

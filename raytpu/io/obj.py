@@ -109,42 +109,96 @@ def parse_obj(path: str, use_native: bool = True) -> ObjMesh:
 def tex_path_from_mtl(mtl_path: str, material_name: str) -> Optional[str]:
     """rtutility.h:233-290: find map_Kd under newmtl <name>, resolve
     relative to the mtl's directory, strip a leading './'."""
+    return parse_mtl(mtl_path).get(material_name, {}).get("map_kd")
+
+
+def parse_mtl(mtl_path: str) -> dict:
+    """Full MTL material table: name -> {map_kd, kd, ns, d}.
+
+    The CPU reference only reads map_Kd (rtutility.h:233-290); the CUDA
+    fork additionally consumes the material's diffuse color and
+    shininess via assimp (triangle.hu:104-130: aiGetMaterialColor
+    DIFFUSE, SHININESS/100 -> reflectionStrength). Parsing Kd/Ns/d here
+    unifies both: untextured materials render with their MTL diffuse
+    (as solid atlas tiles) instead of a hardcoded default.
+    """
     mtl_dir = os.path.dirname(mtl_path)
-    in_target = False
+    mats: dict = {}
+    cur = None
     with open(mtl_path) as f:
         for line in f:
-            if line.startswith("newmtl "):
-                in_target = line[7:].strip() == material_name
-            elif in_target and line.startswith("map_Kd "):
-                tex = line[7:].strip()
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "newmtl":
+                cur = {"map_kd": None, "kd": None, "ns": None, "d": None}
+                mats[line[7:].strip()] = cur
+            elif cur is None:
+                continue
+            elif parts[0] == "map_Kd":
+                tex = line.split(None, 1)[1].strip()
                 if tex.startswith("./"):
                     tex = tex[2:]
-                return os.path.join(mtl_dir, tex)
-    return None
+                cur["map_kd"] = os.path.join(mtl_dir, tex)
+            elif parts[0] == "Kd" and len(parts) >= 4:
+                cur["kd"] = (float(parts[1]), float(parts[2]), float(parts[3]))
+            elif parts[0] == "Ns" and len(parts) >= 2:
+                cur["ns"] = float(parts[1])
+            elif parts[0] == "d" and len(parts) >= 2:
+                cur["d"] = float(parts[1])
+    return mats
 
 
-def build_atlas(tex_paths: Sequence[Optional[str]]) -> TextureAtlas:
+def build_atlas(
+    tex_paths: Sequence[Optional[str]],
+    fallback_colors: Optional[Sequence] = None,
+    fallback_alphas: Optional[Sequence] = None,
+) -> TextureAtlas:
     """create_mat_list_mtl (texture.h:175-354): one flat atlas; all
-    textures must share one (W, H) (texture.h:221)."""
+    textures must share one (W, H) (texture.h:221). Materials without a
+    texture get a solid tile of their MTL Kd color (``fallback_colors``)
+    — the CUDA fork's per-material diffuse (triangle.hu:104-117) —
+    defaulting to the SKY-ish constant the CPU path would produce."""
     rgbs, alphas = [], []
+    pending: list[int] = []
     shape = None
-    for p in tex_paths:
+    for i, p in enumerate(tex_paths):
         if p is None:
+            fc = fallback_colors[i] if fallback_colors else None
+            color = tuple(fc) if fc is not None else (0.784, 0.784, 0.784)
+            fa = fallback_alphas[i] if fallback_alphas else None
+            a_val = float(fa) if fa is not None else 1.0
             if shape is None:
-                raise ValueError("first material has no texture path")
-            rgb = np.full(shape + (3,), 0.784, np.float32)  # SKY-ish default
-            alpha = np.ones(shape, np.float32)
+                pending.append(len(rgbs))
+                rgbs.append(color)       # placeholder, expanded below
+                alphas.append(a_val)
+                continue
+            rgb = np.full(shape + (3,), color, np.float32)
+            alpha = np.full(shape, a_val, np.float32)
         else:
             rgb, alpha = load_texture_pair(p)
-        if shape is None:
-            shape = rgb.shape[:2]
-        elif rgb.shape[:2] != shape:
-            raise ValueError(
-                f"atlas textures must share one size (texture.h:221): "
-                f"{p} is {rgb.shape[:2]}, expected {shape}"
-            )
+            if shape is None:
+                shape = rgb.shape[:2]
+                for j in pending:
+                    rgbs[j] = np.full(
+                        shape + (3,), rgbs[j], np.float32
+                    ).reshape(-1, 3)
+                    alphas[j] = np.full(shape, alphas[j], np.float32).reshape(-1)
+                pending.clear()
+            elif rgb.shape[:2] != shape:
+                raise ValueError(
+                    f"atlas textures must share one size (texture.h:221): "
+                    f"{p} is {rgb.shape[:2]}, expected {shape}"
+                )
         rgbs.append(rgb.reshape(-1, 3))
         alphas.append(alpha.reshape(-1))
+    if shape is None:
+        # no textures at all: 1x1 solid tiles
+        shape = (1, 1)
+        for j in pending:
+            rgbs[j] = np.asarray([rgbs[j]], np.float32).reshape(-1, 3)
+            alphas[j] = np.asarray([alphas[j]], np.float32).reshape(-1)
+        pending.clear()
     h, w = shape
     rgb_flat = np.concatenate(rgbs, 0)
     alpha_flat = np.concatenate(alphas, 0)
@@ -210,8 +264,13 @@ def load_obj_scene(
 
     n_mat = max(len(mesh.mat_names), 1)
     if with_textures and mtl_path is not None and mesh.mat_names:
-        paths = [tex_path_from_mtl(mtl_path, n) for n in mesh.mat_names]
-        atlas = build_atlas(paths)
+        mtl = parse_mtl(mtl_path)
+        entries = [mtl.get(n, {}) for n in mesh.mat_names]
+        atlas = build_atlas(
+            [e.get("map_kd") for e in entries],
+            fallback_colors=[e.get("kd") for e in entries],
+            fallback_alphas=[e.get("d") for e in entries],
+        )
     else:
         atlas = TextureAtlas.empty()
 

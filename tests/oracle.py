@@ -46,14 +46,16 @@ def refract(v, normal, n1, n2):
 
 
 def random_unit(u, v):
-    # rtutility.h:189-203
+    # rtutility.h:189-203 with sin(acos(x)) = sqrt(1-x^2) eliminated
+    # algebraically (same form as raytpu.core.vec3.random_unit_vector)
     theta = 2.0 * math.pi * u
-    phi = math.acos(max(-1.0, min(1.0, 2.0 * v - 1.0)))
+    cos_phi = max(-1.0, min(1.0, 2.0 * v - 1.0))
+    sin_phi = math.sqrt(max(0.0, 1.0 - cos_phi * cos_phi))
     return np.array(
         [
-            math.cos(theta) * math.sin(phi),
-            math.sin(theta) * math.sin(phi),
-            math.cos(phi),
+            math.cos(theta) * sin_phi,
+            math.sin(theta) * sin_phi,
+            cos_phi,
         ]
     )
 
@@ -140,6 +142,11 @@ class OScene:
     table_ior: np.ndarray | None = None
     table_alpha_const: np.ndarray | None = None
     table_use_alpha: np.ndarray | None = None
+    # textured sky sphere (sphere_uvmapping, texture.h:92-112)
+    sky_rgb: np.ndarray | None = None   # (H*W, 3)
+    sky_w: int = 1
+    sky_h: int = 1
+    sky_sphere_index: int = -1
 
 
 def scene_from_jax(scene) -> OScene:
@@ -187,6 +194,11 @@ def scene_from_jax(scene) -> OScene:
         o.atlas_alpha = np.asarray(scene.atlas.alpha, np.float64)
         o.atlas_w = scene.atlas.width
         o.atlas_h = scene.atlas.height
+    if scene.sky.rgb.x.shape[0] > 0:
+        o.sky_rgb = np.asarray(scene.sky.rgb.to_array(), np.float64)
+        o.sky_w = scene.sky.width
+        o.sky_h = scene.sky.height
+        o.sky_sphere_index = scene.sky_sphere_index
     mt = scene.mat_table
     o.table_emission = np.asarray(mt.emission.to_array(), np.float64)
     o.table_es = np.asarray(mt.emission_strength, np.float64)
@@ -266,13 +278,32 @@ def tri_material(scene: OScene, tri: OTriangle, p, n) -> OMaterial:
     )
 
 
+def sphere_uv_emission(scene: OScene, s: "OSphere", p):
+    """sphere_uvmapping (texture.h:92-112): equirect texel at the hit."""
+    d = (p - s.center) / s.radius
+    theta = math.acos(max(-1.0, min(1.0, -d[1])))
+    phi = math.atan2(-d[2], d[0]) + math.pi
+    u = phi / (2.0 * math.pi)
+    v = theta / math.pi
+    x = min(int(u * scene.sky_w), scene.sky_w - 1)
+    y = min(int(v * scene.sky_h), scene.sky_h - 1)
+    return scene.sky_rgb[y * scene.sky_w + x].copy()
+
+
 def closest_hit(scene: OScene, ro, rd):
     """main.c:52-92: spheres first, strict < replacement, then triangles."""
     best = None  # (dst, point, normal, mat)
-    for s in scene.spheres:
+    for i, s in enumerate(scene.spheres):
         h = hit_sphere(s.center, s.radius, ro, rd)
         if h is not None and (best is None or h[0] < best[0]):
-            best = (h[0], h[1], h[2], s.mat)
+            mat = s.mat
+            if scene.sky_rgb is not None and i == scene.sky_sphere_index:
+                import dataclasses as _dc
+
+                mat = _dc.replace(
+                    mat, emission=sphere_uv_emission(scene, s, h[1])
+                )
+            best = (h[0], h[1], h[2], mat)
     for tri in scene.triangles:
         h = hit_triangle(tri, ro, rd)
         if h is not None and (best is None or h[0] < best[0]):

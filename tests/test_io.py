@@ -1,6 +1,28 @@
 """Asset pipeline tests against the reference's shipped model3D assets
 (SURVEY.md §4: 'PPM/OBJ/MTL parsers against the small assets that ship in
 the reference')."""
+import numpy as _np
+
+
+def test_mtl_kd_fallback_tile():
+    """Untextured MTL materials (root pyramide_tri.mtl: Kd only, no
+    map_Kd) become solid atlas tiles of their diffuse color — the CUDA
+    fork's per-material diffuse behavior (triangle.hu:104-117)."""
+    from raytpu.io.obj import build_atlas, parse_mtl, parse_obj
+
+    mtl = parse_mtl("/root/reference/model3D/pyramide_tri.mtl")
+    assert mtl["Mat"]["map_kd"] is None
+    assert mtl["Mat"]["kd"] == (0.8, 0.288, 0.637867)
+    mesh = parse_obj("/root/reference/model3D/pyramide_tri.obj")
+    entries = [mtl.get(n, {}) for n in mesh.mat_names]
+    atlas = build_atlas(
+        [e.get("map_kd") for e in entries],
+        fallback_colors=[e.get("kd") for e in entries],
+        fallback_alphas=[e.get("d") for e in entries],
+    )
+    rgb = _np.asarray(atlas.rgb.to_array())
+    _np.testing.assert_allclose(rgb[0], [0.8, 0.288, 0.637867], rtol=1e-6)
+    assert float(_np.asarray(atlas.alpha)[0]) == 1.0
 
 import os
 
