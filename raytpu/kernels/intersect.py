@@ -49,7 +49,7 @@ def _pad_prims(arrs, n_pad):
 
 
 def _intersect_kernel(
-    sph_ref, tri_ref, ox, oy, oz, dx, dy, dz, t_out, idx_out,
+    sph_ref, tri_ref, box_ref, ox, oy, oz, dx, dy, dz, t_out, idx_out,
     *, n_spheres, n_tris, sphere_eps, det_eps, tri_eps,
 ):
     shape = ox.shape
@@ -116,7 +116,44 @@ def _intersect_kernel(
             jnp.where(better, n_spheres + t_i, bidx),
         )
 
-    best, bidx = jax.lax.fori_loop(0, n_tris, tri_body, (best, bidx))
+    if n_tris > 0:
+        # chunked AABB cull (the CUDA fork's hit_BBox, triangle.hu:42-59,
+        # generalized from one box per mesh to one per 128-triangle
+        # chunk): if no ray in this tile enters a chunk's box, the whole
+        # 128-triangle inner loop is skipped.
+        n_chunks = -(-n_tris // LANE)
+        inv_dx = 1.0 / rdx
+        inv_dy = 1.0 / rdy
+        inv_dz = 1.0 / rdz
+
+        def chunk_body(c, carry):
+            lo_x, lo_y, lo_z = box_ref[0, c], box_ref[1, c], box_ref[2, c]
+            hi_x, hi_y, hi_z = box_ref[3, c], box_ref[4, c], box_ref[5, c]
+            t0x = (lo_x - rox) * inv_dx
+            t1x = (hi_x - rox) * inv_dx
+            t0y = (lo_y - roy) * inv_dy
+            t1y = (hi_y - roy) * inv_dy
+            t0z = (lo_z - roz) * inv_dz
+            t1z = (hi_z - roz) * inv_dz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            any_hit = jnp.any((tmax >= tmin) & (tmax >= 0.0))
+
+            def run(carry):
+                def body(j, carry):
+                    return tri_body(c * LANE + j, carry)
+
+                return jax.lax.fori_loop(0, LANE, body, carry)
+
+            return jax.lax.cond(any_hit, run, lambda x: x, carry)
+
+        best, bidx = jax.lax.fori_loop(0, n_chunks, chunk_body, (best, bidx))
 
     t_out[:] = best
     idx_out[:] = bidx
@@ -129,7 +166,7 @@ def _intersect_kernel(
     ),
 )
 def _intersect_call(
-    sph, tri, ox, oy, oz, dx, dy, dz,
+    sph, tri, boxes, ox, oy, oz, dx, dy, dz,
     *, n_spheres, n_tris, sphere_eps, det_eps, tri_eps, interpret,
 ):
     rows = ox.shape[0]
@@ -153,14 +190,14 @@ def _intersect_call(
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[prim_spec, prim_spec] + [ray_spec] * 6,
+        in_specs=[prim_spec, prim_spec, prim_spec] + [ray_spec] * 6,
         out_specs=[ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
         ],
         interpret=interpret,
-    )(sph, tri, ox, oy, oz, dx, dy, dz)
+    )(sph, tri, boxes, ox, oy, oz, dx, dy, dz)
 
 
 def pallas_select(
@@ -201,6 +238,7 @@ def pallas_select(
         s_pad,
     )
     t_pad = max(-(-n_t // LANE) * LANE, LANE)
+    n_chunks = t_pad // LANE
     if n_t > 0:
         tri = _pad_prims(
             [
@@ -211,11 +249,40 @@ def pallas_select(
             ],
             t_pad,
         )
+        # per-128-chunk AABBs over real triangles (+/-inf padding keeps
+        # padded slots out of the boxes)
+        vb = geom.a + geom.edge_ab
+        vc = geom.a + geom.edge_ac
+        lo, hi = [], []
+        for comp in range(3):
+            parts = [
+                [geom.a.x, vb.x, vc.x],
+                [geom.a.y, vb.y, vc.y],
+                [geom.a.z, vb.z, vc.z],
+            ][comp]
+            stack = jnp.stack(parts)                       # (3, T)
+            pad = t_pad - n_t
+            lo.append(jnp.min(
+                jnp.pad(stack, ((0, 0), (0, pad)), constant_values=jnp.inf)
+                .reshape(3, n_chunks, LANE), axis=(0, 2),
+            ))
+            hi.append(jnp.max(
+                jnp.pad(stack, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+                .reshape(3, n_chunks, LANE), axis=(0, 2),
+            ))
+        boxes = jnp.stack(lo + hi)                         # (6, n_chunks)
+        # inflate slightly: vb/vc are recomputed (a+edge) so they can sit
+        # ~1 ulp inside the true vertices; keep the cull conservative
+        eps = 1e-5 * (jnp.abs(boxes) + 1.0)
+        boxes = boxes + jnp.concatenate(
+            [-eps[:3], eps[3:]], axis=0
+        )
     else:
         tri = jnp.zeros((12, t_pad), jnp.float32)
+        boxes = jnp.zeros((6, n_chunks), jnp.float32)
 
     best_t, best_idx = _intersect_call(
-        sph, tri, ox, oy, oz, dx, dy, dz,
+        sph, tri, boxes, ox, oy, oz, dx, dy, dz,
         n_spheres=n_s, n_tris=n_t,
         sphere_eps=sphere_eps, det_eps=det_eps, tri_eps=tri_eps,
         interpret=interpret,
