@@ -90,6 +90,74 @@ def _mat_table_from_spec(n: int, overrides: list[dict]) -> MatTable:
     )
 
 
+def _concat_triangles(parts: list[Triangles]) -> Triangles:
+    cat = lambda f: jnp.concatenate([getattr(t, f) for t in parts])
+    catv = lambda f: Vec3(
+        jnp.concatenate([getattr(t, f).x for t in parts]),
+        jnp.concatenate([getattr(t, f).y for t in parts]),
+        jnp.concatenate([getattr(t, f).z for t in parts]),
+    )
+    return Triangles(
+        a=catv("a"), b=catv("b"), c=catv("c"),
+        ua=cat("ua"), va=cat("va"), ub=cat("ub"), vb=cat("vb"),
+        uc=cat("uc"), vc=cat("vc"), mat_id=cat("mat_id"),
+    )
+
+
+def _concat_tables(parts: list[MatTable]) -> MatTable:
+    cat = lambda f: jnp.concatenate([getattr(t, f) for t in parts])
+    return MatTable(
+        emission=Vec3(
+            jnp.concatenate([t.emission.x for t in parts]),
+            jnp.concatenate([t.emission.y for t in parts]),
+            jnp.concatenate([t.emission.z for t in parts]),
+        ),
+        emission_strength=cat("emission_strength"),
+        reflection=cat("reflection"),
+        ior=cat("ior"),
+        alpha_const=cat("alpha_const"),
+        use_alpha_const=cat("use_alpha_const"),
+    )
+
+
+def _load_meshes(specs: list[dict], base: str):
+    """[[meshes]] entries -> concatenated (Triangles, TextureAtlas,
+    MatTable) with per-mesh material-slot offsets. The atlas is built in
+    one pass over every mesh's materials so the shared-tile-size rule
+    (texture.h:221) applies globally and untextured materials get solid
+    Kd tiles at the common size."""
+    from raytpu.io.obj import build_atlas, mesh_to_triangles, parse_mtl, parse_obj
+
+    tri_parts, table_parts = [], []
+    paths, colors, alphas = [], [], []
+    offset = 0
+    for m in specs:
+        mesh = parse_obj(os.path.join(base, m["obj"]))
+        tris = mesh_to_triangles(
+            mesh, tuple(m.get("translate", (0.0, 0.0, 0.0)))
+        )
+        n_mat = max(len(mesh.mat_names), 1)
+        mtl = (
+            parse_mtl(os.path.join(base, m["mtl"]))
+            if m.get("textures", True) and "mtl" in m
+            else {}
+        )
+        entries = [mtl.get(n, {}) for n in mesh.mat_names] or [{}]
+        entries = entries + [{}] * (n_mat - len(entries))
+        paths += [e.get("map_kd") for e in entries]
+        colors += [e.get("kd") for e in entries]
+        alphas += [e.get("d") for e in entries]
+        table_parts.append(_mat_table_from_spec(n_mat, m.get("materials", [])))
+        tri_parts.append(tris.replace(mat_id=tris.mat_id + offset))
+        offset += n_mat
+    atlas = build_atlas(paths, fallback_colors=colors, fallback_alphas=alphas)
+    return (
+        _concat_triangles(tri_parts),
+        atlas,
+        _concat_tables(table_parts),
+    )
+
+
 def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
     """Parse a TOML scene spec into (Scene, Camera, RenderConfig)."""
     with open(path, "rb") as f:
@@ -126,7 +194,13 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
     triangles = Triangles.empty()
     atlas = TextureAtlas.empty()
     mat_table = MatTable.default(1)
-    if "mesh" in spec:
+    if "meshes" in spec:
+        # multi-mesh scene (superset of the reference's single mesh +
+        # move_mesh translation): concatenated triangle SoA with
+        # per-mesh material-slot offsets; all texture tiles still share
+        # one (W, H) (texture.h:221)
+        triangles, atlas, mat_table = _load_meshes(spec["meshes"], base)
+    elif "mesh" in spec:
         from raytpu.io.obj import (
             build_atlas,
             mesh_to_triangles,

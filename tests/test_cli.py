@@ -1,0 +1,71 @@
+"""End-to-end CLI tests: render and train drive the full stack through
+``raytpu.cli.main`` exactly as a user would."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from raytpu.cli import main
+
+
+def test_render_png(tmp_path):
+    out = str(tmp_path / "x.png")
+    rc = main([
+        "render", "cornell", "--spp", "4", "--width", "32", "--height",
+        "24", "--out", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (24, 32, 3)
+    assert img.mean() > 5  # not black
+
+
+def test_render_ppm_scene_spec(tmp_path):
+    out = str(tmp_path / "x.ppm")
+    rc = main([
+        "render", "scenes/cornell.toml", "--spp", "2", "--width", "16",
+        "--height", "12", "--out", out,
+    ])
+    assert rc == 0
+    from raytpu.io.ppm import read_ppm
+
+    img = read_ppm(out, bottom_up=False)
+    assert img.shape == (12, 16, 3)
+
+
+def test_render_denoise_and_aov(tmp_path):
+    out = str(tmp_path / "d.png")
+    rc = main([
+        "render", "cornell", "--spp", "2", "--width", "16", "--height",
+        "12", "--out", out, "--denoise", "--aov",
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "d_albedo.png"))
+    assert os.path.exists(str(tmp_path / "d_normal.png"))
+
+
+def test_train_reduces_loss(tmp_path, capsys):
+    # target = a render of the scene itself, so optimization must converge
+    target = str(tmp_path / "t.png")
+    main([
+        "render", "cornell", "--spp", "4", "--width", "12", "--height",
+        "8", "--out", target,
+    ])
+    out = str(tmp_path / "trained.png")
+    rc = main([
+        "train", "cornell", "--target", target, "--steps", "6",
+        "--spp", "2", "--width", "12", "--height", "8", "--lr", "3e-2",
+        "--out", out, "--log-every", "1",
+    ])
+    assert rc == 0 and os.path.exists(out)
+    lines = [
+        l for l in capsys.readouterr().out.splitlines()
+        if l.startswith("step ")
+    ]
+    first = float(lines[0].split()[-1])
+    last = float(lines[-1].split()[-1])
+    assert last < first
