@@ -44,6 +44,12 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=1200)
     ap.add_argument("--height", type=int, default=900)
     ap.add_argument("--bounces", type=int, default=6)
+    ap.add_argument(
+        "--mesh", default=None, metavar="TILESxSAMPLES",
+        help="shard over a ('tiles','samples') device mesh, e.g. 1x4 — "
+             "for measuring multi-chip scaling efficiency (rays/s/chip "
+             "at N chips vs 1)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -59,7 +65,18 @@ def main() -> None:
         spp=args.spp, max_bounces=args.bounces,
     )
 
-    fn = jax.jit(lambda sc, ca, pids, key: render(sc, ca, cfg, pids, key))
+    if args.mesh:
+        from raytpu.sharding import make_mesh, render_sharded
+
+        nt, ns = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(nt, ns)
+        fn = jax.jit(
+            lambda sc, ca, pids, key: render_sharded(
+                sc, ca, cfg, pids, key, mesh
+            )
+        )
+    else:
+        fn = jax.jit(lambda sc, ca, pids, key: render(sc, ca, cfg, pids, key))
     pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
     key = jax.random.PRNGKey(0)
 
