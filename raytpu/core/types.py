@@ -294,6 +294,10 @@ class RenderConfig:
     # in interpreter mode (CPU testing)
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # differentiable-mode texture filtering: nearest (reference
+    # semantics, piecewise-constant in geometry) vs bilinear (continuous
+    # UV->color, giving nonzero vertex/camera gradients)
+    bilinear_textures: bool = False
 
     @property
     def n_pixels(self) -> int:

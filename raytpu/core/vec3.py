@@ -193,7 +193,12 @@ def refract(v: Vec3, normal: Vec3, n1: Scalar, n2: Scalar) -> Vec3:
     """
     n1s = n1 * n1
     n2s = n2 * n2
-    ratio = n1s / jnp.maximum(n2s, 1e-20)  # floor only guards autodiff
+    # The floor and ceiling only guard autodiff: rays that MISS carry a
+    # zeroed material (ior = 0), making the unclamped ratio 1e40 -> inf
+    # in f32; its backward partials then produce inf * 0 = NaN even
+    # though the refraction result is masked out. Physical IORs give
+    # ratios of O(1), far from both clamps.
+    ratio = jnp.clip(n1s / jnp.maximum(n2s, 1e-20), 0.0, 1e6)
     ndotv = normal.dot(v)
     radical = 1.0 - (ratio * ratio) * (1.0 - ndotv * ndotv)
     comp_tan = (v - normal * v.dot(normal)) * ratio

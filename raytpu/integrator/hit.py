@@ -190,6 +190,7 @@ def closest_hit(
             n_t, point,
             g[24],
             scene.atlas, scene.mat_table,
+            bilinear=cfg.bilinear_textures,
         )
         tri_sel = did_hit & tri_wins
         normal = Vec3.where(tri_sel, n_t, normal)

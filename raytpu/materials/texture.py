@@ -45,6 +45,52 @@ def atlas_fetch(
     return Vec3(r, g, b), alpha
 
 
+def atlas_fetch_bilinear(
+    atlas: TextureAtlas, mat_id: Array, u: Array, v: Array
+) -> tuple[Vec3, Array]:
+    """Bilinear texel filtering with wrap addressing.
+
+    NOT a reference behavior (the reference is nearest-only) — this is
+    the differentiable-rendering mode (cfg.bilinear_textures): with
+    nearest sampling, radiance is piecewise-constant in every geometric
+    parameter (hit point -> texel id is a step function), so vertex /
+    camera / sphere-position gradients are zero almost everywhere.
+    Bilinear makes UV -> color continuous, giving useful gradients
+    through the hit-point -> barycentric -> UV chain.
+    """
+    w, h = atlas.width, atlas.height
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    x1i = jnp.mod(x0i + 1, w)
+    y1i = jnp.mod(y0i + 1, h)
+    base = (h * w) * mat_id
+
+    def fetch(xi, yi):
+        idx = base + yi * w + xi
+        r, g, b, a = gather_channels(
+            [atlas.rgb.x, atlas.rgb.y, atlas.rgb.z, atlas.alpha], idx
+        )
+        return Vec3(r, g, b), a
+
+    c00, a00 = fetch(x0i, y0i)
+    c10, a10 = fetch(x1i, y0i)
+    c01, a01 = fetch(x0i, y1i)
+    c11, a11 = fetch(x1i, y1i)
+    w00 = (1 - tx) * (1 - ty)
+    w10 = tx * (1 - ty)
+    w01 = (1 - tx) * ty
+    w11 = tx * ty
+    rgb = c00 * w00 + c10 * w10 + c01 * w01 + c11 * w11
+    alpha = a00 * w00 + a10 * w10 + a01 * w01 + a11 * w11
+    return rgb, alpha
+
+
 def triangle_material(
     tri_a: Vec3,
     tri_b: Vec3,
@@ -57,15 +103,18 @@ def triangle_material(
     mat_id: Array,
     atlas: TextureAtlas,
     table: MatTable,
+    bilinear: bool = False,
 ) -> Materials:
     """tri_uvmapping (texture.h:44-89) for a batch of per-ray winning
-    triangles (already gathered to (B,) shapes)."""
+    triangles (already gathered to (B,) shapes). ``bilinear`` switches
+    the differentiable filtering mode (atlas_fetch_bilinear)."""
     w_a, w_b, w_c = barycentric(tri_a, tri_b, tri_c, normal, hit_point)
     u = wrap_uv(w_a * uv_a[0] + w_b * uv_b[0] + w_c * uv_c[0])
     v = wrap_uv(w_a * uv_a[1] + w_b * uv_b[1] + w_c * uv_c[1])
 
     if atlas.count > 0:
-        rgb, tex_alpha = atlas_fetch(atlas, mat_id, u, v)
+        fetch = atlas_fetch_bilinear if bilinear else atlas_fetch
+        rgb, tex_alpha = fetch(atlas, mat_id, u, v)
     else:
         # Mesh without textures: the reference assigns a constant default
         # material (SKY diffuse, mesh.h:207) when no atlas is present.
