@@ -83,6 +83,9 @@ def cmd_render(argv) -> int:
                     help="capture a jax.profiler trace into this dir")
     ap.add_argument("--pallas", action="store_true",
                     help="use the Pallas fused intersection kernel")
+    ap.add_argument("--bilinear", action="store_true",
+                    help="bilinear texture filtering (differentiable "
+                         "mode; reference semantics are nearest)")
     _add_render_overrides(ap)
     args = ap.parse_args(argv)
     scene_name = args.scene_flag or args.scene
@@ -97,6 +100,8 @@ def cmd_render(argv) -> int:
     cfg = _apply_overrides(cfg, args)
     if args.pallas:
         cfg = cfg.replace(use_pallas=True)
+    if args.bilinear:
+        cfg = cfg.replace(bilinear_textures=True)
     key = jax.random.PRNGKey(args.seed)
 
     if args.out is None:

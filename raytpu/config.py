@@ -176,6 +176,7 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
         aperture_x=float(r.get("aperture_x", 0.0)),
         aperture_y=float(r.get("aperture_y", 0.0)),
         ior_stack_depth=int(r.get("ior_stack_depth", 8)),
+        bilinear_textures=bool(r.get("bilinear_textures", False)),
     )
 
     c = spec.get("camera", {})

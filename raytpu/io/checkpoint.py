@@ -67,8 +67,16 @@ def load_checkpoint(
     with open(path + ".json") as f:
         meta = json.load(f)
     want = _fingerprint(cfg, seed)
-    if meta != want:
-        diff = {k: (meta.get(k), want[k]) for k in want if meta.get(k) != want[k]}
+    defaults = dataclasses.asdict(RenderConfig())
+    # tolerate keys the old checkpoint predates, as long as the current
+    # run uses their default values (a config field added in an upgrade
+    # must not invalidate old checkpoints)
+    diff = {
+        k: (meta.get(k), want[k])
+        for k in want
+        if meta.get(k, defaults.get(k)) != want[k]
+    }
+    if diff:
         raise ValueError(
             f"checkpoint {path} was written with different settings: {diff}"
         )

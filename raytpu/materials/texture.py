@@ -71,23 +71,33 @@ def atlas_fetch_bilinear(
     y1i = jnp.mod(y0i + 1, h)
     base = (h * w) * mat_id
 
-    def fetch(xi, yi):
-        idx = base + yi * w + xi
-        r, g, b, a = gather_channels(
-            [atlas.rgb.x, atlas.rgb.y, atlas.rgb.z, atlas.alpha], idx
-        )
-        return Vec3(r, g, b), a
-
-    c00, a00 = fetch(x0i, y0i)
-    c10, a10 = fetch(x1i, y0i)
-    c01, a01 = fetch(x0i, y1i)
-    c11, a11 = fetch(x1i, y1i)
+    # one concatenated gather for all four corners (one row-gather
+    # forward, one VJP scan backward) instead of four separate ones
+    bsz = u.shape[0]
+    idx4 = jnp.concatenate([
+        base + y0i * w + x0i,
+        base + y0i * w + x1i,
+        base + y1i * w + x0i,
+        base + y1i * w + x1i,
+    ])
+    r4, g4, b4 = gather_channels(
+        [atlas.rgb.x, atlas.rgb.y, atlas.rgb.z], idx4
+    )
+    corners = [
+        Vec3(r4[k * bsz : (k + 1) * bsz], g4[k * bsz : (k + 1) * bsz],
+             b4[k * bsz : (k + 1) * bsz])
+        for k in range(4)
+    ]
+    c00, c10, c01, c11 = corners
     w00 = (1 - tx) * (1 - ty)
     w10 = tx * (1 - ty)
     w01 = (1 - tx) * ty
     w11 = tx * ty
     rgb = c00 * w00 + c10 * w10 + c01 * w01 + c11 * w11
-    alpha = a00 * w00 + a10 * w10 + a01 * w01 + a11 * w11
+    # alpha stays NEAREST: interpolated alphas at binary-cutout texel
+    # edges would fall into the refraction window [1e-4, 0.99] and flip
+    # the shading branch (path.py); the mode only filters COLOR
+    _, alpha = atlas_fetch(atlas, mat_id, u, v)
     return rgb, alpha
 
 
@@ -118,7 +128,6 @@ def triangle_material(
     else:
         # Mesh without textures: the reference assigns a constant default
         # material (SKY diffuse, mesh.h:207) when no atlas is present.
-        b = mat_id.shape[0] if mat_id.ndim else ()
         rgb = Vec3.full(mat_id.shape, 0.784, 0.965, 1.0)
         tex_alpha = jnp.ones(mat_id.shape, jnp.float32)
 
