@@ -63,6 +63,10 @@ def main() -> None:
     cfg = cfg.replace(
         width=args.width, height=args.height,
         spp=args.spp, max_bounces=args.bounces,
+        # production fast path: the full-bounce-loop Pallas megakernel
+        # (bit-identical to the scan integrator, tests/test_megakernel.py;
+        # render() falls back automatically on unsupported configs)
+        use_megakernel=True,
     )
 
     if args.mesh:

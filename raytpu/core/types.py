@@ -294,6 +294,10 @@ class RenderConfig:
     # in interpreter mode (CPU testing)
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # full-bounce-loop Pallas megakernel (kernels/trace_spheres.py);
+    # used when the scene qualifies (sphere-only, no AO), forward pass
+    # only — gradients always take the scan path
+    use_megakernel: bool = False
     # differentiable-mode texture filtering: nearest (reference
     # semantics, piecewise-constant in geometry) vs bilinear (continuous
     # UV->color, giving nonzero vertex/camera gradients)

@@ -97,6 +97,12 @@ def render(
     # residual footprint is one sample's carry, and each sample's bounce
     # scan is recomputed during its backward step (HBM-for-FLOPs trade,
     # SURVEY.md 'jax.checkpoint / rematerialisation').
+    use_mk = False
+    if cfg.use_megakernel:
+        from raytpu.kernels.trace_spheres import supported, trace_megakernel
+
+        use_mk = supported(scene, cfg)
+
     @jax.checkpoint
     def traced_sample(scene, cam, s):
         ray_keys = rng.sample_keys(pix_keys, s)
@@ -104,6 +110,11 @@ def render(
             ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
         )
         origin, direction = sample_rays(cam, cfg, pixel_ids, cam_draws)
+        if use_mk:
+            return trace_megakernel(
+                scene, cfg, origin, direction, bounce_draws,
+                interpret=cfg.pallas_interpret,
+            )
         return trace(scene, cfg, origin, direction, bounce_draws)
 
     def sample_step(sums: RenderSums, s: Array):

@@ -1,0 +1,370 @@
+"""Pallas megakernel: the ENTIRE bounce loop for sphere scenes.
+
+This is the wavefront megakernel the north star names: per-ray
+intersection + shading + light accumulation for all bounces fused into
+ONE kernel launch — the TPU-native reformulation of the reference's
+per-pixel ``tracer`` loop (/root/reference/main.c:118-242 /
+main_cuda.cu:86-141). Between bounces every carried quantity (origin,
+direction, throughput, radiance, AOVs, alive mask, medium IOR) lives in
+vector registers / VMEM; nothing round-trips through HBM.
+
+Scope: sphere scenes (the flagship benchmark configuration), forward
+only, AO off, identity HSL factors. The XLA scan path
+(integrator.path.trace) remains the general, differentiable
+implementation; render() dispatches here when
+``cfg.use_megakernel`` is set and the scene qualifies, and the two are
+tested against each other (tests/test_megakernel.py).
+
+Semantics mirror integrator.path bounce-for-bounce: AOV base cases,
+emissive early return (identity HSL round-trip), diffuse/specular lerp,
+probabilistic refraction with the reduced pile.h medium scalar, alpha
+cutout, the x1.3 double-multiply bright quirk, miss termination.
+RNG draws are precomputed OUTSIDE the kernel with the same threefry
+streams (rng.ray_uniforms), so results match the scan path and the f64
+oracle's consumption pattern.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.core.types import RenderConfig, Scene
+from raytpu.core.vec3 import Vec3
+
+LANE = 128
+ROWS = 16           # rays per grid step = 2048; larger tiles spill registers
+                    # ~24 live per-ray planes in registers
+BIG = 3.0e38
+
+
+def _pad_rows(x: Array, rows: int) -> Array:
+    pad = rows * LANE - x.shape[0]
+    return jnp.pad(x, (0, pad)).reshape(rows, LANE)
+
+
+def _kernel(
+    sph_ref,      # SMEM (14, S_pad): cx cy cz r | dif3 emi3 estr refl alpha ior
+    ox, oy, oz, dx, dy, dz,          # VMEM (ROWS, LANE) ray tiles
+    draws_ref,                        # VMEM (BN*3, ROWS, LANE)
+    inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
+    *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
+    bright_boost, bright_threshold,
+):
+    f0 = jnp.zeros(ox.shape, jnp.float32)
+    f1 = jnp.ones(ox.shape, jnp.float32)
+
+    rox, roy, roz = ox[:], oy[:], oz[:]
+    rdx, rdy, rdz = dx[:], dy[:], dz[:]
+
+    rcx, rcy, rcz = f1, f1, f1            # throughput (rayColor)
+    ix, iy, iz = f0, f0, f0               # incoming radiance
+    ax_, ay_, az_ = f0, f0, f0            # albedo AOV
+    nx_, ny_, nz_ = f0, f0, f0            # normal AOV
+    # Mosaic cannot select between i1 vectors (trunci i8->i1), so the
+    # carried masks live as f32 0/1 and comparisons produce local bools
+    active_f = f1
+    is_alpha_f = f0
+    alpha_depth = jnp.zeros(ox.shape, jnp.int32)
+    medium_n2 = f1
+
+    for i in range(bounces):              # static unroll
+        active = active_f > 0.0
+        is_alpha = is_alpha_f > 0.0
+        # ---- closest sphere (main.c:52-92) --------------------------
+        a_quad = rdx * rdx + rdy * rdy + rdz * rdz
+        inv_2a = 0.5 / jnp.maximum(a_quad, 1e-20)
+        best = jnp.full(ox.shape, BIG, jnp.float32)
+        bidx = jnp.full(ox.shape, -1, jnp.int32)
+        for s in range(n_spheres):        # static unroll (S ~ 10)
+            cx, cy, cz, r = (
+                sph_ref[0, s], sph_ref[1, s], sph_ref[2, s], sph_ref[3, s]
+            )
+            ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+            b_ = 2.0 * (ocx * rdx + ocy * rdy + ocz * rdz)
+            c_ = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b_ * b_ - 4.0 * a_quad * c_
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-b_ - sq) * inv_2a
+            t2 = (-b_ + sq) * inv_2a
+            hit_s = disc > 0.0
+            t = jnp.where(
+                hit_s & (t1 >= sphere_eps), t1,
+                jnp.where(hit_s & (t2 >= sphere_eps), t2, BIG),
+            )
+            better = t < best
+            best = jnp.where(better, t, best)
+            bidx = jnp.where(better, s, bidx)
+
+        did_hit = bidx >= 0
+        safe_t = jnp.where(did_hit, best, 0.0)
+        px = rox + rdx * safe_t
+        py = roy + rdy * safe_t
+        pz = roz + rdz * safe_t
+
+        # winner data: select-chain over the (static) sphere list
+        ch = [f0] * 14
+        for s in range(n_spheres):
+            m = bidx == s
+            for k in range(14):
+                ch[k] = jnp.where(m, sph_ref[k, s], ch[k])
+        (cx, cy, cz, r, dfx, dfy, dfz, emx, emy, emz,
+         estr, refl, alpha, ior) = ch
+
+        # outward normal normalize(p - c) (sphere.h:33,42)
+        nvx, nvy, nvz = px - cx, py - cy, pz - cz
+        n2 = nvx * nvx + nvy * nvy + nvz * nvz
+        inv_len = jnp.where(
+            n2 > 0, jax.lax.rsqrt(jnp.maximum(n2, 1e-38)), 0.0
+        )
+        # miss rays carry a zeroed winner (c = r = 0), which would make
+        # normalize(p - 0) = p/|p|; the scan path's normal is zero there
+        inv_len = jnp.where(did_hit, inv_len, 0.0)
+        nX, nY, nZ = nvx * inv_len, nvy * inv_len, nvz * inv_len
+
+        # ---- AOV base cases (main.c:137-150) ------------------------
+        if i == 0:
+            ax_, ay_, az_ = dfx, dfy, dfz
+            nx_, ny_, nz_ = nX, nY, nZ
+        else:
+            aov_alpha = active & (i == alpha_depth) & is_alpha
+            em = estr > 0.0
+            ax_ = jnp.where(aov_alpha, jnp.where(em, emx, dfx), ax_)
+            ay_ = jnp.where(aov_alpha, jnp.where(em, emy, dfy), ay_)
+            az_ = jnp.where(aov_alpha, jnp.where(em, emz, dfz), az_)
+            nx_ = jnp.where(aov_alpha, nX, nx_)
+            ny_ = jnp.where(aov_alpha, nY, ny_)
+            nz_ = jnp.where(aov_alpha, nZ, nz_)
+            is_alpha = is_alpha & ~aov_alpha
+            is_alpha_f = jnp.where(is_alpha, f1, f0)
+
+        # ---- emissive early return (identity HSL) -------------------
+        emissive_ret = (
+            active & did_hit & (i == alpha_depth) & (estr > 0.0)
+        )
+        ix = jnp.where(emissive_ret, emx, ix)
+        iy = jnp.where(emissive_ret, emy, iy)
+        iz = jnp.where(emissive_ret, emz, iz)
+        ax_ = jnp.where(emissive_ret, emx, ax_)
+        ay_ = jnp.where(emissive_ret, emy, ay_)
+        az_ = jnp.where(emissive_ret, emz, az_)
+        nx_ = jnp.where(emissive_ret, nX, nx_)
+        ny_ = jnp.where(emissive_ret, nY, ny_)
+        nz_ = jnp.where(emissive_ret, nZ, nz_)
+        active = active & ~emissive_ret
+
+        live = active & did_hit
+
+        # ---- scatter (main.c:162-165) -------------------------------
+        u_d = draws_ref[3 * i + 0]
+        v_d = draws_ref[3 * i + 1]
+        roulette = draws_ref[3 * i + 2]
+        theta = (2.0 * jnp.float32(jnp.pi)) * u_d
+        cph = jnp.clip(2.0 * v_d - 1.0, -1.0, 1.0)
+        sph_ = jnp.sqrt(jnp.maximum(1.0 - cph * cph, 0.0))
+        rux = jnp.cos(theta) * sph_
+        ruy = jnp.sin(theta) * sph_
+        ruz = cph
+        ddx, ddy, ddz = nX + rux, nY + ruy, nZ + ruz
+        dn2 = ddx * ddx + ddy * ddy + ddz * ddz
+        dinv = jnp.where(dn2 > 0, jax.lax.rsqrt(jnp.maximum(dn2, 1e-38)), 0.0)
+        ddx, ddy, ddz = ddx * dinv, ddy * dinv, ddz * dinv
+        vdn = rdx * nX + rdy * nY + rdz * nZ
+        rfx = rdx - 2.0 * vdn * nX
+        rfy = rdy - 2.0 * vdn * nY
+        rfz = rdz - 2.0 * vdn * nZ
+        drx = ddx + (rfx - ddx) * refl
+        dry = ddy + (rfy - ddy) * refl
+        drz = ddz + (rfz - ddz) * refl
+
+        # ---- refraction (main.c:167-193, reduced pile.h) ------------
+        refr_case = live & (alpha <= alpha_hi) & (alpha >= alpha_lo)
+        exiting = vdn > 0.0
+        nex = jnp.where(exiting, -nX, nX)
+        ney = jnp.where(exiting, -nY, nY)
+        nez = jnp.where(exiting, -nZ, nZ)
+        n1_ = jnp.where(exiting, ior, medium_n2)
+        n2_ = jnp.where(exiting, medium_n2, ior)
+        medium_n2 = jnp.where(refr_case & ~exiting, ior, medium_n2)
+        n1s = n1_ * n1_
+        n2s = n2_ * n2_
+        ratio = jnp.clip(n1s / jnp.maximum(n2s, 1e-20), 0.0, 1e6)
+        ndotv = nex * rdx + ney * rdy + nez * rdz
+        radical = 1.0 - (ratio * ratio) * (1.0 - ndotv * ndotv)
+        ct_scale = rdx * nex + rdy * ney + rdz * nez
+        tanx = (rdx - nex * ct_scale) * ratio
+        tany = (rdy - ney * ct_scale) * ratio
+        tanz = (rdz - nez * ct_scale) * ratio
+        sqr = jnp.sqrt(jnp.maximum(radical, 1e-20))
+        refx = tanx - nex * sqr
+        refy = tany - ney * sqr
+        refz = tanz - nez * sqr
+        # TIR falls back to mirror of the effective normal
+        vdne = rdx * nex + rdy * ney + rdz * nez
+        mrx = rdx - 2.0 * vdne * nex
+        mry = rdy - 2.0 * vdne * ney
+        mrz = rdz - 2.0 * vdne * nez
+        tir = radical <= 0.0
+        refx = jnp.where(tir, mrx, refx)
+        refy = jnp.where(tir, mry, refy)
+        refz = jnp.where(tir, mrz, refz)
+        do_refract = refr_case & (roulette > alpha)
+
+        # ---- opaque / cutout (main.c:195-206) -----------------------
+        cutout = live & (alpha < alpha_lo)
+        opaque = live & (alpha > alpha_hi)
+        is_alpha_f = jnp.where(opaque, f0, is_alpha_f)
+        is_alpha_f = jnp.where(cutout, f1, is_alpha_f)
+        alpha_depth = jnp.where(cutout, alpha_depth + 1, alpha_depth)
+
+        use_dr = live & ~do_refract & ~cutout
+        rox = jnp.where(live, px, rox)
+        roy = jnp.where(live, py, roy)
+        roz = jnp.where(live, pz, roz)
+        rdx = jnp.where(do_refract, refx, jnp.where(use_dr, drx, rdx))
+        rdy = jnp.where(do_refract, refy, jnp.where(use_dr, dry, rdy))
+        rdz = jnp.where(do_refract, refz, jnp.where(use_dr, drz, rdz))
+
+        # ---- accumulate (main.c:208-234) ----------------------------
+        accum = live & ~do_refract & ~cutout
+        ix = jnp.where(accum, ix + emx * estr * rcx, ix)
+        iy = jnp.where(accum, iy + emy * estr * rcy, iy)
+        iz = jnp.where(accum, iz + emz * estr * rcz, iz)
+        bright = (
+            (rcx > bright_threshold)
+            | (rcy > bright_threshold)
+            | (rcz > bright_threshold)
+        )
+        nbx = jnp.where(bright, dfx * (dfx * (rcx * bright_boost)), dfx * rcx)
+        nby = jnp.where(bright, dfy * (dfy * (rcy * bright_boost)), dfy * rcy)
+        nbz = jnp.where(bright, dfz * (dfz * (rcz * bright_boost)), dfz * rcz)
+        rcx = jnp.where(accum, nbx, rcx)
+        rcy = jnp.where(accum, nby, rcy)
+        rcz = jnp.where(accum, nbz, rcz)
+
+        active_f = jnp.where(active & did_hit, f1, f0)
+
+    inc_x[:] = ix
+    inc_y[:] = iy
+    inc_z[:] = iz
+    alb_x[:] = ax_
+    alb_y[:] = ay_
+    alb_z[:] = az_
+    nrm_x[:] = nx_
+    nrm_y[:] = ny_
+    nrm_z[:] = nz_
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_spheres", "bounces", "sphere_eps", "alpha_lo", "alpha_hi",
+        "bright_boost", "bright_threshold", "interpret",
+    ),
+)
+def _trace_call(
+    sph, ox, oy, oz, dx, dy, dz, draws,
+    *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
+    bright_boost, bright_threshold, interpret,
+):
+    rows = ox.shape[0]
+    grid = (rows // ROWS,)
+    ray_spec = pl.BlockSpec(
+        (ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    draws_spec = pl.BlockSpec(
+        (draws.shape[0], ROWS, LANE),
+        lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _kernel,
+        n_spheres=n_spheres, bounces=bounces, sphere_eps=sphere_eps,
+        alpha_lo=alpha_lo, alpha_hi=alpha_hi,
+        bright_boost=bright_boost, bright_threshold=bright_threshold,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [ray_spec] * 6
+        + [draws_spec],
+        out_specs=[ray_spec] * 9,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 9,
+        interpret=interpret,
+    )(sph, ox, oy, oz, dx, dy, dz, draws)
+    return out
+
+
+def supported(scene: Scene, cfg: RenderConfig) -> bool:
+    """The megakernel covers the flagship configuration: sphere-only
+    scenes, AO off, identity HSL, <= 64 spheres."""
+    return (
+        scene.triangles.count == 0
+        and 0 < scene.spheres.count <= 64
+        and not cfg.use_ao
+        and cfg.hsl_l_factor == 1.0
+        and cfg.hsl_s_factor == 1.0
+        and scene.sky_sphere_index < 0
+    )
+
+
+def trace_megakernel(
+    scene: Scene,
+    cfg: RenderConfig,
+    origin: Vec3,
+    direction: Vec3,
+    bounce_draws: Array,
+    interpret: bool = False,
+) -> tuple[Vec3, Vec3, Vec3]:
+    """Drop-in for integrator.path.trace on supported configurations."""
+    b = origin.x.shape[0]
+    rows = max(-(-b // LANE), ROWS)
+    rows = -(-rows // ROWS) * ROWS
+
+    ox, oy, oz = (_pad_rows(c, rows) for c in origin)
+    dx, dy, dz = (_pad_rows(c, rows) for c in direction)
+
+    n_s = scene.spheres.count
+    s_pad = max(-(-n_s // LANE) * LANE, LANE)
+    m = scene.spheres.mat
+    sph = jnp.stack(
+        [
+            jnp.pad(c, (0, s_pad - n_s))
+            for c in (
+                scene.spheres.center.x, scene.spheres.center.y,
+                scene.spheres.center.z, scene.spheres.radius,
+                m.diffuse.x, m.diffuse.y, m.diffuse.z,
+                m.emission.x, m.emission.y, m.emission.z,
+                m.emission_strength, m.reflection, m.alpha, m.ior,
+            )
+        ]
+    )
+
+    # draws (bounces, 3, B) -> (bounces*3, rows, 128)
+    bn = bounce_draws.shape[0]
+    draws = bounce_draws.reshape(bn * 3, b)
+    draws = jnp.pad(draws, ((0, 0), (0, rows * LANE - b))).reshape(
+        bn * 3, rows, LANE
+    )
+
+    out = _trace_call(
+        sph, ox, oy, oz, dx, dy, dz, draws,
+        n_spheres=n_s, bounces=cfg.max_bounces,
+        sphere_eps=cfg.sphere_eps,
+        alpha_lo=cfg.refr_alpha_lo, alpha_hi=cfg.refr_alpha_hi,
+        bright_boost=cfg.bright_boost,
+        bright_threshold=cfg.bright_threshold,
+        interpret=interpret,
+    )
+    flat = [o.reshape(-1)[:b] for o in out]
+    return (
+        Vec3(flat[0], flat[1], flat[2]),
+        Vec3(flat[3], flat[4], flat[5]),
+        Vec3(flat[6], flat[7], flat[8]),
+    )

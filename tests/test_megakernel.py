@@ -1,0 +1,73 @@
+"""The full-bounce-loop megakernel vs the scan integrator: same RNG
+streams, same semantics, compared in interpreter mode on CPU (and
+compiled on TPU in bench/CI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytpu.core.types import RenderConfig, Scene
+from raytpu.integrator.render import render
+from raytpu.kernels.trace_spheres import supported
+from raytpu.scenes import BLACK, WHITE, cornell_box, spheres_from_rows
+
+
+def _compare(scene, cam, cfg, key, atol=1e-4):
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    a = render(scene, cam, cfg, pids, key)
+    b = render(
+        scene, cam,
+        cfg.replace(use_megakernel=True, pallas_interpret=True),
+        pids, key,
+    )
+    for name in ("radiance", "albedo", "normal"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name).to_array()),
+            np.asarray(getattr(b, name).to_array()),
+            rtol=1e-5, atol=atol, err_msg=name,
+        )
+
+
+def test_cornell_matches_scan():
+    scene, cam, _ = cornell_box()
+    cfg = RenderConfig(width=16, height=12, spp=4, max_bounces=5)
+    assert supported(scene, cfg)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(41))
+
+
+def test_refractive_spheres_match_scan():
+    rows = [
+        ((0, -501, 0), 500.0, WHITE, BLACK, 0.0, 0.0, 1.0, 1.0),
+        ((0, 1.5, -3), 0.8, BLACK, (1.0, 0.9, 0.7), 5.0, 0.0, 1.0, 1.0),
+        # glass ball: alpha in the refraction window
+        ((0, 0, -3), 0.7, WHITE, BLACK, 0.0, 0.2, 0.1, 1.5),
+        # cutout ball
+        ((0.9, 0, -2.2), 0.4, WHITE, BLACK, 0.0, 0.0, 0.0, 1.0),
+    ]
+    scene = Scene.from_spheres(spheres_from_rows(rows))
+    from raytpu.camera import make_camera
+
+    cam = make_camera(
+        origin=(0, 0, 1), target=(0, 0, -3), up=(0, 1, 0),
+        vfov_deg=50.0, aspect_ratio=1.5,
+    )
+    cfg = RenderConfig(width=12, height=8, spp=4, max_bounces=6)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(42))
+
+
+def test_unsupported_configs_fall_back():
+    scene, cam, _ = cornell_box()
+    assert not supported(scene, RenderConfig(use_ao=True))
+    assert not supported(scene, RenderConfig(hsl_l_factor=1.2))
+    assert not supported(
+        scene.replace(sky_sphere_index=1), RenderConfig()
+    )
+    # falls back silently and still renders
+    cfg = RenderConfig(
+        width=8, height=6, spp=2, max_bounces=3,
+        use_ao=True, use_megakernel=True, pallas_interpret=True,
+    )
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    out = render(scene, cam, cfg, pids, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out.radiance.to_array())).all()
