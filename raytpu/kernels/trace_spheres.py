@@ -54,7 +54,8 @@ def _kernel(
     draws_ref,                        # VMEM (BN*3, ROWS, LANE)
     inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
     *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
-    bright_boost, bright_threshold,
+    bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
+    ao_intensity, ao_emission_factor,
 ):
     f0 = jnp.zeros(ox.shape, jnp.float32)
     f1 = jnp.ones(ox.shape, jnp.float32)
@@ -161,9 +162,9 @@ def _kernel(
         live = active & did_hit
 
         # ---- scatter (main.c:162-165) -------------------------------
-        u_d = draws_ref[3 * i + 0]
-        v_d = draws_ref[3 * i + 1]
-        roulette = draws_ref[3 * i + 2]
+        u_d = draws_ref[n_draws * i + 0]
+        v_d = draws_ref[n_draws * i + 1]
+        roulette = draws_ref[n_draws * i + 2]
         theta = (2.0 * jnp.float32(jnp.pi)) * u_d
         cph = jnp.clip(2.0 * v_d - 1.0, -1.0, 1.0)
         sph_ = jnp.sqrt(jnp.maximum(1.0 - cph * cph, 0.0))
@@ -232,9 +233,12 @@ def _kernel(
 
         # ---- accumulate (main.c:208-234) ----------------------------
         accum = live & ~do_refract & ~cutout
-        ix = jnp.where(accum, ix + emx * estr * rcx, ix)
-        iy = jnp.where(accum, iy + emy * estr * rcy, iy)
-        iz = jnp.where(accum, iz + emz * estr * rcz, iz)
+        e_scale = (
+            estr * (ao_emission_factor * ao_intensity) if use_ao else estr
+        )
+        ix = jnp.where(accum, ix + emx * e_scale * rcx, ix)
+        iy = jnp.where(accum, iy + emy * e_scale * rcy, iy)
+        iz = jnp.where(accum, iz + emz * e_scale * rcz, iz)
         bright = (
             (rcx > bright_threshold)
             | (rcy > bright_threshold)
@@ -243,6 +247,48 @@ def _kernel(
         nbx = jnp.where(bright, dfx * (dfx * (rcx * bright_boost)), dfx * rcx)
         nby = jnp.where(bright, dfy * (dfy * (rcy * bright_boost)), dfy * rcy)
         nbz = jnp.where(bright, dfz * (dfz * (rcz * bright_boost)), dfz * rcz)
+        if use_ao:
+            # ambient occlusion probes (main.c:94-116): hemisphere rays
+            # from the hit point; occlusion = hits / (samples*intensity)
+            occ = f0
+            for s_i in range(ao_samples):
+                au = draws_ref[n_draws * i + 3 + 2 * s_i]
+                av = draws_ref[n_draws * i + 4 + 2 * s_i]
+                ath = (2.0 * jnp.float32(jnp.pi)) * au
+                acp = jnp.clip(2.0 * av - 1.0, -1.0, 1.0)
+                asp = jnp.sqrt(jnp.maximum(1.0 - acp * acp, 0.0))
+                aox_ = nX + jnp.cos(ath) * asp
+                aoy_ = nY + jnp.sin(ath) * asp
+                aoz_ = nZ + acp
+                an2 = aox_ * aox_ + aoy_ * aoy_ + aoz_ * aoz_
+                ainv = jnp.where(
+                    an2 > 0, jax.lax.rsqrt(jnp.maximum(an2, 1e-38)), 0.0
+                )
+                aox_, aoy_, aoz_ = aox_ * ainv, aoy_ * ainv, aoz_ * ainv
+                aq = aox_ * aox_ + aoy_ * aoy_ + aoz_ * aoz_
+                ai2a = 0.5 / jnp.maximum(aq, 1e-20)
+                occ_hit = f0 > 1.0
+                for s2 in range(n_spheres):
+                    scx, scy, scz, sr = (
+                        sph_ref[0, s2], sph_ref[1, s2],
+                        sph_ref[2, s2], sph_ref[3, s2],
+                    )
+                    ocx2, ocy2, ocz2 = px - scx, py - scy, pz - scz
+                    b2 = 2.0 * (ocx2 * aox_ + ocy2 * aoy_ + ocz2 * aoz_)
+                    c2 = ocx2 * ocx2 + ocy2 * ocy2 + ocz2 * ocz2 - sr * sr
+                    d2 = b2 * b2 - 4.0 * aq * c2
+                    sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+                    tt1 = (-b2 - sq2) * ai2a
+                    tt2 = (-b2 + sq2) * ai2a
+                    h2 = d2 > 0.0
+                    occ_hit = occ_hit | (
+                        h2 & ((tt1 >= sphere_eps) | (tt2 >= sphere_eps))
+                    )
+                occ = occ + jnp.where(occ_hit, 1.0, 0.0)
+            factor = occ * (1.0 / (ao_samples * ao_intensity))
+            nbx = nbx * factor
+            nby = nby * factor
+            nbz = nbz * factor
         rcx = jnp.where(accum, nbx, rcx)
         rcy = jnp.where(accum, nby, rcy)
         rcz = jnp.where(accum, nbz, rcz)
@@ -264,13 +310,15 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "n_spheres", "bounces", "sphere_eps", "alpha_lo", "alpha_hi",
-        "bright_boost", "bright_threshold", "interpret",
+        "bright_boost", "bright_threshold", "n_draws", "use_ao",
+        "ao_samples", "ao_intensity", "ao_emission_factor", "interpret",
     ),
 )
 def _trace_call(
     sph, ox, oy, oz, dx, dy, dz, draws,
     *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
-    bright_boost, bright_threshold, interpret,
+    bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
+    ao_intensity, ao_emission_factor, interpret,
 ):
     rows = ox.shape[0]
     grid = (rows // ROWS,)
@@ -287,6 +335,8 @@ def _trace_call(
         n_spheres=n_spheres, bounces=bounces, sphere_eps=sphere_eps,
         alpha_lo=alpha_lo, alpha_hi=alpha_hi,
         bright_boost=bright_boost, bright_threshold=bright_threshold,
+        n_draws=n_draws, use_ao=use_ao, ao_samples=ao_samples,
+        ao_intensity=ao_intensity, ao_emission_factor=ao_emission_factor,
     )
     out = pl.pallas_call(
         kernel,
@@ -302,12 +352,11 @@ def _trace_call(
 
 
 def supported(scene: Scene, cfg: RenderConfig) -> bool:
-    """The megakernel covers the flagship configuration: sphere-only
-    scenes, AO off, identity HSL, <= 64 spheres."""
+    """The megakernel covers the flagship configurations: sphere-only
+    scenes (with or without AO/DoF), identity HSL, <= 64 spheres."""
     return (
         scene.triangles.count == 0
         and 0 < scene.spheres.count <= 64
-        and not cfg.use_ao
         and cfg.hsl_l_factor == 1.0
         and cfg.hsl_s_factor == 1.0
         and scene.sky_sphere_index < 0
@@ -346,11 +395,11 @@ def trace_megakernel(
         ]
     )
 
-    # draws (bounces, 3, B) -> (bounces*3, rows, 128)
-    bn = bounce_draws.shape[0]
-    draws = bounce_draws.reshape(bn * 3, b)
+    # draws (bounces, n_draws, B) -> (bounces*n_draws, rows, 128)
+    bn, nd = bounce_draws.shape[0], bounce_draws.shape[1]
+    draws = bounce_draws.reshape(bn * nd, b)
     draws = jnp.pad(draws, ((0, 0), (0, rows * LANE - b))).reshape(
-        bn * 3, rows, LANE
+        bn * nd, rows, LANE
     )
 
     out = _trace_call(
@@ -360,6 +409,9 @@ def trace_megakernel(
         alpha_lo=cfg.refr_alpha_lo, alpha_hi=cfg.refr_alpha_hi,
         bright_boost=cfg.bright_boost,
         bright_threshold=cfg.bright_threshold,
+        n_draws=nd, use_ao=cfg.use_ao, ao_samples=cfg.ao_samples,
+        ao_intensity=cfg.ao_intensity,
+        ao_emission_factor=cfg.ao_emission_factor,
         interpret=interpret,
     )
     flat = [o.reshape(-1)[:b] for o in out]

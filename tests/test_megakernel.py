@@ -56,17 +56,28 @@ def test_refractive_spheres_match_scan():
     _compare(scene, cam, cfg, jax.random.PRNGKey(42))
 
 
+def test_ao_dof_matches_scan():
+    """BASELINE config 2's features: AO probes + DoF aperture jitter."""
+    scene, cam, _ = cornell_box()
+    cfg = RenderConfig(
+        width=12, height=8, spp=3, max_bounces=4,
+        use_ao=True, ao_intensity=2.5,
+        aperture_x=0.3, aperture_y=0.3, focus_distance=3.0,
+    )
+    assert supported(scene, cfg)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(43))
+
+
 def test_unsupported_configs_fall_back():
     scene, cam, _ = cornell_box()
-    assert not supported(scene, RenderConfig(use_ao=True))
     assert not supported(scene, RenderConfig(hsl_l_factor=1.2))
     assert not supported(
         scene.replace(sky_sphere_index=1), RenderConfig()
     )
-    # falls back silently and still renders
+    # falls back silently and still renders (non-identity HSL)
     cfg = RenderConfig(
         width=8, height=6, spp=2, max_bounces=3,
-        use_ao=True, use_megakernel=True, pallas_interpret=True,
+        hsl_l_factor=1.2, use_megakernel=True, pallas_interpret=True,
     )
     pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
     out = render(scene, cam, cfg, pids, jax.random.PRNGKey(1))
