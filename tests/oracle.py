@@ -349,7 +349,16 @@ def tracer(scene: OScene, ro, rd, cfg, draws_per_bounce):
             break
 
         if i == alpha_depth and mat.emission_strength > 0:
-            new_col = hsl_to_rgb(rgb_to_hsl(mat.emission))
+            # HSL boost (main.c:154-160; the CUDA fork uses L*=1.2,
+            # main_cuda.cu:89-98) — factors from the config
+            h, s_, l = rgb_to_hsl(mat.emission)
+            new_col = hsl_to_rgb(
+                np.array([
+                    h,
+                    s_ * getattr(cfg, "hsl_s_factor", 1.0),
+                    l * getattr(cfg, "hsl_l_factor", 1.0),
+                ])
+            )
             return new_col, new_col, nrm
 
         ro = point

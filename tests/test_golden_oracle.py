@@ -61,6 +61,30 @@ def test_cornell_ao_matches_oracle():
 
 @pytest.mark.slow
 def test_cornell_dof_matches_oracle():
+    """Depth of field: aperture origin jitter + focus re-aim
+    (camera.h:42-54, exercised nowhere else against the oracle)."""
+    scene, cam, _ = cornell_box()
+    cfg = RenderConfig(
+        width=12, height=8, spp=3, max_bounces=4,
+        aperture_x=0.3, aperture_y=0.3, focus_distance=3.0,
+    )
+    _compare(scene, cam, cfg, jax.random.PRNGKey(6))
+
+
+@pytest.mark.slow
+def test_cuda_hsl_boost_matches_oracle():
+    """The CUDA fork's emissive L*=1.2 HSL boost (main_cuda.cu:89-98)."""
+    from raytpu.scenes import cornell_box_cuda
+
+    scene, cam, _ = cornell_box_cuda()
+    cfg = RenderConfig(
+        width=12, height=8, spp=3, max_bounces=3, hsl_l_factor=1.2
+    )
+    _compare(scene, cam, cfg, jax.random.PRNGKey(7))
+
+
+@pytest.mark.slow
+def test_cornell_dof_matches_oracle():
     scene, cam, _ = cornell_box()
     cfg = RenderConfig(
         width=12, height=8, spp=3, max_bounces=3,
