@@ -121,7 +121,7 @@ def _kernel(
         nvx, nvy, nvz = px - cx, py - cy, pz - cz
         n2 = nvx * nvx + nvy * nvy + nvz * nvz
         inv_len = jnp.where(
-            n2 > 0, jax.lax.rsqrt(jnp.maximum(n2, 1e-38)), 0.0
+            n2 > 0, 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-38)), 0.0
         )
         # miss rays carry a zeroed winner (c = r = 0), which would make
         # normalize(p - 0) = p/|p|; the scan path's normal is zero there
@@ -173,7 +173,7 @@ def _kernel(
         ruz = cph
         ddx, ddy, ddz = nX + rux, nY + ruy, nZ + ruz
         dn2 = ddx * ddx + ddy * ddy + ddz * ddz
-        dinv = jnp.where(dn2 > 0, jax.lax.rsqrt(jnp.maximum(dn2, 1e-38)), 0.0)
+        dinv = jnp.where(dn2 > 0, 1.0 / jnp.sqrt(jnp.maximum(dn2, 1e-38)), 0.0)
         ddx, ddy, ddz = ddx * dinv, ddy * dinv, ddz * dinv
         vdn = rdx * nX + rdy * nY + rdz * nZ
         rfx = rdx - 2.0 * vdn * nX
@@ -262,7 +262,7 @@ def _kernel(
                 aoz_ = nZ + acp
                 an2 = aox_ * aox_ + aoy_ * aoy_ + aoz_ * aoz_
                 ainv = jnp.where(
-                    an2 > 0, jax.lax.rsqrt(jnp.maximum(an2, 1e-38)), 0.0
+                    an2 > 0, 1.0 / jnp.sqrt(jnp.maximum(an2, 1e-38)), 0.0
                 )
                 aox_, aoy_, aoz_ = aox_ * ainv, aoy_ * ainv, aoz_ * ainv
                 aq = aox_ * aox_ + aoy_ * aoy_ + aoz_ * aoz_
