@@ -12,6 +12,22 @@ Gradients of a Monte-Carlo estimator are well-defined here because the
 RNG streams are fixed by (pixel, sample) keys: the estimator is a
 deterministic differentiable function of the scene parameters
 (SURVEY.md §7 "Gradient correctness").
+
+GRADIENT STRUCTURE (important): with the reference's nearest-texel
+filtering and flat materials, pixel radiance is PIECEWISE-CONSTANT in
+every purely geometric parameter (sphere centers/radii, triangle
+vertices, camera pose) — the only dependence runs through discrete
+events (which primitive is hit, which texel is fetched, roulette
+branches), so those gradients are correctly ZERO almost everywhere,
+and finite differences at fixed RNG agree. Parameters that multiply
+radiance directly (diffuse/emission colors, emission strength, texture
+values) have ordinary nonzero gradients. To optimize GEOMETRY or the
+camera, enable ``cfg.bilinear_textures`` on a textured scene: bilinear
+color filtering makes UV -> color continuous and the hit-point ->
+barycentric -> UV chain carries real gradients
+(tests/test_grad.py::test_bilinear_texture_chain_fd). Visibility
+(silhouette) discontinuities remain unhandled, as the north star
+accepts; reparameterized/edge sampling would be the next step.
 """
 
 from __future__ import annotations
