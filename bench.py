@@ -99,6 +99,11 @@ def main() -> None:
 
     rays = cfg.n_pixels * cfg.spp * cfg.max_bounces
     rays_per_sec = rays / elapsed
+    if args.mesh:
+        # per-CHIP metric: divide the aggregate mesh throughput by the
+        # device count so vs_baseline against a 1-chip record measures
+        # scaling efficiency, not raw aggregate speedup
+        rays_per_sec /= jax.device_count()
 
     # sanity: the render must be a real image, not NaN/zero garbage
     mean = float(np.asarray(out.radiance.x, np.float64).mean()) / cfg.spp

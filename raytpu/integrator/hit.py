@@ -71,9 +71,9 @@ def closest_hit(
         geom = precompute(scene.triangles)
 
     if cfg.use_pallas:
+        from raytpu.kernels.intersect import pallas_select, pallas_supported
+    if cfg.use_pallas and pallas_supported(scene):
         # fused VMEM-resident selection (raytpu.kernels.intersect)
-        from raytpu.kernels.intersect import pallas_select
-
         best_t, best_idx = pallas_select(
             jax.tree.map(sg, scene), jax.tree.map(sg, geom), o_sg, d_sg,
             cfg.sphere_eps, cfg.tri_det_eps, cfg.tri_eps,
@@ -208,5 +208,40 @@ def any_hit(
 ) -> Array:
     """Occlusion query: did the ray hit anything? Used by the AO estimator
     (ambient_occlusion, main.c:94-116), which only consumes didHit since
-    attenuation = (distance/dst)^I == 1 for normalized directions."""
-    return closest_hit(scene, geom, origin, direction, cfg, with_material=False).did_hit
+    attenuation = (distance/dst)^I == 1 for normalized directions.
+
+    The result is a non-differentiable boolean, so unlike closest_hit no
+    argmin, winner gather, or differentiable recompute is needed — just
+    an any-reduce over the masked distance matrices (or the Pallas
+    selector's found mask)."""
+    b = origin.x.shape[0]
+    sg = jax.lax.stop_gradient
+    o_sg, d_sg = jax.tree.map(sg, (origin, direction))
+    if scene.triangles.count > 0 and geom is None:
+        geom = precompute(scene.triangles)
+
+    if cfg.use_pallas:
+        from raytpu.kernels.intersect import pallas_select, pallas_supported
+
+        if pallas_supported(scene):
+            _, best_idx = pallas_select(
+                jax.tree.map(sg, scene), jax.tree.map(sg, geom), o_sg, d_sg,
+                cfg.sphere_eps, cfg.tri_det_eps, cfg.tri_eps,
+                interpret=cfg.pallas_interpret,
+            )
+            return best_idx >= 0
+
+    found = jnp.zeros((b,), bool)
+    if scene.spheres.count > 0:
+        s_dists = sphere_distances(
+            o_sg, d_sg, sg(scene.spheres.center), sg(scene.spheres.radius),
+            eps=cfg.sphere_eps,
+        )
+        found = found | jnp.isfinite(s_dists).any(axis=1)
+    if scene.triangles.count > 0:
+        t_dists = triangle_distances(
+            o_sg, d_sg, jax.tree.map(sg, geom),
+            det_eps=cfg.tri_det_eps, eps=cfg.tri_eps,
+        )
+        found = found | jnp.isfinite(t_dists).any(axis=1)
+    return found

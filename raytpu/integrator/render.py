@@ -103,19 +103,45 @@ def render(
 
         use_mk = supported(scene, cfg)
 
-    @jax.checkpoint
-    def traced_sample(scene, cam, s):
+    def scan_sample(scene, cam, s):
         ray_keys = rng.sample_keys(pix_keys, s)
         cam_draws, bounce_draws = rng.ray_uniforms(
             ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
         )
         origin, direction = sample_rays(cam, cfg, pixel_ids, cam_draws)
-        if use_mk:
+        return trace(scene, cfg, origin, direction, bounce_draws)
+
+    if use_mk:
+        # megakernel forward + scan-path backward: pl.pallas_call has no
+        # VJP rule, so differentiating through the kernel would fail at
+        # trace time. The custom VJP recomputes the sample via the scan
+        # integrator inside the pullback (their forward values agree —
+        # tests/test_megakernel.py), making use_megakernel safe under
+        # jax.grad at scan-path backward cost.
+        @jax.custom_vjp
+        def mk_sample(scene, cam, s):
+            ray_keys = rng.sample_keys(pix_keys, s)
+            cam_draws, bounce_draws = rng.ray_uniforms(
+                ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
+            )
+            origin, direction = sample_rays(cam, cfg, pixel_ids, cam_draws)
             return trace_megakernel(
                 scene, cfg, origin, direction, bounce_draws,
                 interpret=cfg.pallas_interpret,
             )
-        return trace(scene, cfg, origin, direction, bounce_draws)
+
+        def _mk_fwd(scene, cam, s):
+            return mk_sample(scene, cam, s), (scene, cam, s)
+
+        def _mk_bwd(res, g):
+            scene, cam, s = res
+            _, pullback = jax.vjp(scan_sample, scene, cam, s)
+            return pullback(g)
+
+        mk_sample.defvjp(_mk_fwd, _mk_bwd)
+        traced_sample = jax.checkpoint(mk_sample)
+    else:
+        traced_sample = jax.checkpoint(scan_sample)
 
     def sample_step(sums: RenderSums, s: Array):
         rad, alb, nrm = traced_sample(scene, cam, s)

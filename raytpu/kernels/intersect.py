@@ -33,19 +33,24 @@ from jax.experimental.pallas import tpu as pltpu
 from raytpu.core.types import Scene
 from raytpu.core.vec3 import Vec3
 from raytpu.geometry.triangle import TriangleGeom
+from raytpu.kernels._common import (
+    BIG,
+    LANE,
+    MAX_SMEM_PRIMS,
+    pad_prims as _pad_prims,
+    pad_rows as _pad_rows,
+)
 
-LANE = 128
 ROWS = 64           # rays per grid step = ROWS * LANE = 8192
-BIG = 3.0e38        # stand-in for +inf (f32 max ~ 3.4e38)
 
 
-def _pad_rows(x: Array, rows: int) -> Array:
-    pad = rows * LANE - x.shape[0]
-    return jnp.pad(x, (0, pad)).reshape(rows, LANE)
-
-
-def _pad_prims(arrs, n_pad):
-    return jnp.stack([jnp.pad(a, (0, n_pad - a.shape[0])) for a in arrs])
+def pallas_supported(scene: Scene) -> bool:
+    """Primitive tables must fit SMEM (see _common.MAX_SMEM_PRIMS);
+    callers fall back to the XLA distance-matrix path otherwise."""
+    return (
+        scene.spheres.count <= MAX_SMEM_PRIMS
+        and scene.triangles.count <= MAX_SMEM_PRIMS
+    )
 
 
 def _intersect_kernel(

@@ -16,8 +16,10 @@ samples using disjoint global sample indices, and the radiance sums are
 combined with one ``psum`` over the axis — the renderer's analog of a
 data-parallel gradient all-reduce, riding ICI within a slice. Because
 RNG keys are derived from (pixel_id, global_sample_id)
-(raytpu.core.rng), a (1, 1) mesh and an (a, b) mesh produce
-bit-identical sums, which the determinism tests assert on a virtual
+(raytpu.core.rng), every mesh factorization computes exactly the same
+per-sample terms as a single device; the sums agree up to f32
+summation order (the psum of per-device partials associates the adds
+differently), which the determinism tests assert to 1e-5 on a virtual
 8-device CPU mesh.
 """
 

@@ -2,9 +2,9 @@
 
 See package docstring for the design. The key invariant: RNG streams are
 keyed by (pixel_id, global_sample_index), so any (tiles, samples) mesh
-factorization produces bit-identical sums to a single device — the
-multi-device render is a pure reshuffling of the same per-sample terms
-(plus one ``psum``).
+factorization computes exactly the same per-sample terms as a single
+device — the multi-device render is a pure reshuffling of those terms
+plus one ``psum`` (so sums agree up to f32 summation order).
 """
 
 from __future__ import annotations

@@ -114,3 +114,31 @@ def test_megakernel_sharded_matches_single_device():
         np.asarray(ref.radiance.to_array()),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_megakernel_grad_takes_scan_backward():
+    """use_megakernel under jax.grad must not crash (pallas_call has no
+    VJP); the custom VJP recomputes via the scan path, so gradients
+    equal the scan configuration's."""
+    from raytpu.train import combine_scene, partition_scene
+
+    scene, cam, _ = cornell_box()
+    cfg = RenderConfig(
+        width=8, height=6, spp=2, max_bounces=3,
+        use_megakernel=True, pallas_interpret=True,
+    )
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(45)
+    params, static = partition_scene(scene)
+
+    def loss(params, c):
+        sums = render(combine_scene(params, static), cam, c, pids, key)
+        return jnp.mean((sums.radiance.to_array() - 0.2) ** 2)
+
+    g_mk = jax.grad(loss)(params, cfg)
+    g_scan = jax.grad(loss)(params, cfg.replace(use_megakernel=False))
+    np.testing.assert_allclose(
+        np.asarray(g_mk.spheres.mat.diffuse.x),
+        np.asarray(g_scan.spheres.mat.diffuse.x),
+        rtol=1e-5, atol=1e-6,
+    )
