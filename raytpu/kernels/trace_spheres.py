@@ -55,7 +55,7 @@ def _kernel(
     inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
     *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
-    ao_intensity, ao_emission_factor,
+    ao_intensity, ao_emission_factor, hsl_l, hsl_s,
 ):
     f0 = jnp.zeros(ox.shape, jnp.float32)
     f1 = jnp.ones(ox.shape, jnp.float32)
@@ -144,16 +144,24 @@ def _kernel(
             is_alpha = is_alpha & ~aov_alpha
             is_alpha_f = jnp.where(is_alpha, f1, f0)
 
-        # ---- emissive early return (identity HSL) -------------------
+        # ---- emissive early return + HSL boost (main.c:154-160) -----
         emissive_ret = (
             active & did_hit & (i == alpha_depth) & (estr > 0.0)
         )
-        ix = jnp.where(emissive_ret, emx, ix)
-        iy = jnp.where(emissive_ret, emy, iy)
-        iz = jnp.where(emissive_ret, emz, iz)
-        ax_ = jnp.where(emissive_ret, emx, ax_)
-        ay_ = jnp.where(emissive_ret, emy, ay_)
-        az_ = jnp.where(emissive_ret, emz, az_)
+        if hsl_l == 1.0 and hsl_s == 1.0:
+            bx, by, bz = emx, emy, emz   # identity round-trip skipped
+        else:
+            from raytpu.core.color import hsl_boost
+            from raytpu.core.vec3 import Vec3 as _V
+
+            bb_ = hsl_boost(_V(emx, emy, emz), hsl_l, hsl_s)
+            bx, by, bz = bb_.x, bb_.y, bb_.z
+        ix = jnp.where(emissive_ret, bx, ix)
+        iy = jnp.where(emissive_ret, by, iy)
+        iz = jnp.where(emissive_ret, bz, iz)
+        ax_ = jnp.where(emissive_ret, bx, ax_)
+        ay_ = jnp.where(emissive_ret, by, ay_)
+        az_ = jnp.where(emissive_ret, bz, az_)
         nx_ = jnp.where(emissive_ret, nX, nx_)
         ny_ = jnp.where(emissive_ret, nY, ny_)
         nz_ = jnp.where(emissive_ret, nZ, nz_)
@@ -311,14 +319,15 @@ def _kernel(
     static_argnames=(
         "n_spheres", "bounces", "sphere_eps", "alpha_lo", "alpha_hi",
         "bright_boost", "bright_threshold", "n_draws", "use_ao",
-        "ao_samples", "ao_intensity", "ao_emission_factor", "interpret",
+        "ao_samples", "ao_intensity", "ao_emission_factor",
+        "hsl_l", "hsl_s", "interpret",
     ),
 )
 def _trace_call(
     sph, ox, oy, oz, dx, dy, dz, draws,
     *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
-    ao_intensity, ao_emission_factor, interpret,
+    ao_intensity, ao_emission_factor, hsl_l, hsl_s, interpret,
 ):
     rows = ox.shape[0]
     grid = (rows // ROWS,)
@@ -337,6 +346,7 @@ def _trace_call(
         bright_boost=bright_boost, bright_threshold=bright_threshold,
         n_draws=n_draws, use_ao=use_ao, ao_samples=ao_samples,
         ao_intensity=ao_intensity, ao_emission_factor=ao_emission_factor,
+        hsl_l=hsl_l, hsl_s=hsl_s,
     )
     out = pl.pallas_call(
         kernel,
@@ -352,13 +362,12 @@ def _trace_call(
 
 
 def supported(scene: Scene, cfg: RenderConfig) -> bool:
-    """The megakernel covers the flagship configurations: sphere-only
-    scenes (with or without AO/DoF), identity HSL, <= 64 spheres."""
+    """The megakernel covers every sphere-scene configuration (AO, DoF,
+    HSL boost, refraction, cutout) up to 64 spheres; textured-sky and
+    triangle scenes take the scan path."""
     return (
         scene.triangles.count == 0
         and 0 < scene.spheres.count <= 64
-        and cfg.hsl_l_factor == 1.0
-        and cfg.hsl_s_factor == 1.0
         and scene.sky_sphere_index < 0
     )
 
@@ -412,6 +421,7 @@ def trace_megakernel(
         n_draws=nd, use_ao=cfg.use_ao, ao_samples=cfg.ao_samples,
         ao_intensity=cfg.ao_intensity,
         ao_emission_factor=cfg.ao_emission_factor,
+        hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
         interpret=interpret,
     )
     flat = [o.reshape(-1)[:b] for o in out]

@@ -77,19 +77,35 @@ def test_ao_dof_matches_scan():
     _compare(scene, cam, cfg, jax.random.PRNGKey(43))
 
 
+def test_hsl_boost_matches_scan():
+    """The CUDA fork's L*=1.2 HSL boost, in-kernel."""
+    scene, cam, _ = cornell_box()
+    cfg = RenderConfig(
+        width=12, height=8, spp=3, max_bounces=3, hsl_l_factor=1.2
+    )
+    assert supported(scene, cfg)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(46))
+
+
 def test_unsupported_configs_fall_back():
     scene, cam, _ = cornell_box()
-    assert not supported(scene, RenderConfig(hsl_l_factor=1.2))
     assert not supported(
         scene.replace(sky_sphere_index=1), RenderConfig()
     )
-    # falls back silently and still renders (non-identity HSL)
+    # textured-sky scenes fall back silently and still render
+    from raytpu.core.types import SkyTexture
+    from raytpu.core.vec3 import Vec3 as _V
+
+    sky = SkyTexture(
+        rgb=_V(jnp.ones(4), jnp.ones(4), jnp.ones(4)), width=2, height=2
+    )
+    s2 = scene.replace(sky=sky, sky_sphere_index=9)
     cfg = RenderConfig(
         width=8, height=6, spp=2, max_bounces=3,
-        hsl_l_factor=1.2, use_megakernel=True, pallas_interpret=True,
+        use_megakernel=True, pallas_interpret=True,
     )
     pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
-    out = render(scene, cam, cfg, pids, jax.random.PRNGKey(1))
+    out = render(s2, cam, cfg, pids, jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(out.radiance.to_array())).all()
 
 
