@@ -66,3 +66,32 @@ def test_two_meshes_concatenate(tmp_path):
         jax.random.PRNGKey(0),
     )
     assert np.isfinite(np.asarray(sums.radiance.to_array())).all()
+
+
+def test_reference_scene_specs_load():
+    """Every checked-in scene spec parses into a renderable scene."""
+    import glob
+
+    from raytpu.config import load_scene_file
+
+    specs = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "scenes", "*.toml")))
+    assert len(specs) >= 8
+    for p in specs:
+        scene, cam, cfg = load_scene_file(p)
+        assert scene.spheres.count + scene.triangles.count > 0, p
+        assert cfg.n_pixels > 0, p
+
+
+def test_largest_mesh_renders():
+    """1tree_tri.obj (1320 triangles — the reference's largest mesh)."""
+    from raytpu.config import load_scene_file
+
+    p = os.path.join(os.path.dirname(__file__), "..", "scenes", "tree.toml")
+    scene, cam, cfg = load_scene_file(p)
+    assert scene.triangles.count == 1320
+    cfg = cfg.replace(width=10, height=8, spp=1, max_bounces=2)
+    sums = render(
+        scene, cam, cfg, jnp.arange(cfg.n_pixels, dtype=jnp.int32),
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(np.asarray(sums.radiance.to_array())).all()
