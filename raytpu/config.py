@@ -69,6 +69,7 @@ def _mat_table_from_spec(n: int, overrides: list[dict]) -> MatTable:
     io = np.ones(n, np.float32)
     ac = np.ones(n, np.float32)
     ua = np.zeros(n, bool)
+    eft = np.zeros(n, bool)
     for o in overrides:
         i = int(o["id"])
         if not 0 <= i < n:
@@ -80,6 +81,7 @@ def _mat_table_from_spec(n: int, overrides: list[dict]) -> MatTable:
         if "alpha" in o:
             ac[i] = float(o["alpha"])
             ua[i] = True
+        eft[i] = bool(o.get("emission_from_texture", False))
     return MatTable(
         emission=Vec3(jnp.asarray(em[:, 0]), jnp.asarray(em[:, 1]), jnp.asarray(em[:, 2])),
         emission_strength=jnp.asarray(es),
@@ -87,6 +89,7 @@ def _mat_table_from_spec(n: int, overrides: list[dict]) -> MatTable:
         ior=jnp.asarray(io),
         alpha_const=jnp.asarray(ac),
         use_alpha_const=jnp.asarray(ua),
+        emission_from_texture=jnp.asarray(eft),
     )
 
 
@@ -117,6 +120,7 @@ def _concat_tables(parts: list[MatTable]) -> MatTable:
         ior=cat("ior"),
         alpha_const=cat("alpha_const"),
         use_alpha_const=cat("use_alpha_const"),
+        emission_from_texture=cat("emission_from_texture"),
     )
 
 

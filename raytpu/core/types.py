@@ -168,6 +168,9 @@ class MatTable:
     ior: Array                # (M,)
     alpha_const: Array        # (M,) value used when use_alpha_const
     use_alpha_const: Array    # (M,) bool: True -> ignore texel alpha
+    # bool: emission is modulated by the diffuse texel (superset of the
+    # reference, whose emissive overrides are flat colors texture.h:71-88)
+    emission_from_texture: Array = None
 
     @staticmethod
     def default(n: int) -> "MatTable":
@@ -178,6 +181,7 @@ class MatTable:
             ior=jnp.ones((n,)),
             alpha_const=jnp.ones((n,)),
             use_alpha_const=jnp.zeros((n,), bool),
+            emission_from_texture=jnp.zeros((n,), bool),
         )
 
     @staticmethod
@@ -217,6 +221,7 @@ class MatTable:
             ior=jnp.asarray(io),
             alpha_const=jnp.asarray(ac),
             use_alpha_const=jnp.asarray(ua),
+            emission_from_texture=jnp.zeros(n, bool),
         )
 
 

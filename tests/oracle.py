@@ -142,6 +142,7 @@ class OScene:
     table_ior: np.ndarray | None = None
     table_alpha_const: np.ndarray | None = None
     table_use_alpha: np.ndarray | None = None
+    table_eft: np.ndarray | None = None
     # textured sky sphere (sphere_uvmapping, texture.h:92-112)
     sky_rgb: np.ndarray | None = None   # (H*W, 3)
     sky_w: int = 1
@@ -206,6 +207,7 @@ def scene_from_jax(scene) -> OScene:
     o.table_ior = np.asarray(mt.ior, np.float64)
     o.table_alpha_const = np.asarray(mt.alpha_const, np.float64)
     o.table_use_alpha = np.asarray(mt.use_alpha_const, bool)
+    o.table_eft = np.asarray(mt.emission_from_texture, bool)
     return o
 
 
@@ -268,9 +270,12 @@ def tri_material(scene: OScene, tri: OTriangle, p, n) -> OMaterial:
         diffuse = np.array([0.784, 0.965, 1.0])
         tex_alpha = 1.0
     alpha = scene.table_alpha_const[m] if scene.table_use_alpha[m] else tex_alpha
+    emission = scene.table_emission[m].copy()
+    if scene.table_eft is not None and scene.table_eft[m]:
+        emission = emission * diffuse
     return OMaterial(
         diffuse=diffuse,
-        emission=scene.table_emission[m].copy(),
+        emission=emission,
         emission_strength=scene.table_es[m],
         reflection=scene.table_refl[m],
         alpha=alpha,
