@@ -128,11 +128,13 @@ def cmd_render(argv) -> int:
             )
 
             def log(msg):
-                print(f"[render] {msg}", file=sys.stderr, flush=True)
+                if not args.log_json:  # monitor emits the structured lines
+                    print(f"[render] {msg}", file=sys.stderr, flush=True)
 
             out = render_image_checkpointed(
                 scene, cam, cfg, key, args.checkpoint,
                 flush_every=args.flush_every, log=log,
+                progress=mon.update,
             )
         elif args.sharded:
             from raytpu.sharding import render_image_sharded

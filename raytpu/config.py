@@ -179,7 +179,10 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
         focus_distance=float(r.get("focus_distance", 3.0)),
         aperture_x=float(r.get("aperture_x", 0.0)),
         aperture_y=float(r.get("aperture_y", 0.0)),
-        ior_stack_depth=int(r.get("ior_stack_depth", 8)),
+        # note: a TOML "ior_stack_depth" key is accepted but ignored — the
+        # pile.h stack reduces exactly to one carried scalar regardless of
+        # nesting depth (proof in integrator/path.py), so no config knob
+        # exists for it anymore
         bilinear_textures=bool(r.get("bilinear_textures", False)),
     )
 

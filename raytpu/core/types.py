@@ -169,7 +169,10 @@ class MatTable:
     alpha_const: Array        # (M,) value used when use_alpha_const
     use_alpha_const: Array    # (M,) bool: True -> ignore texel alpha
     # bool: emission is modulated by the diffuse texel (superset of the
-    # reference, whose emissive overrides are flat colors texture.h:71-88)
+    # reference, whose emissive overrides are flat colors texture.h:71-88).
+    # None (a table built before the field existed — positional
+    # construction, unpickled scenes) means all-False; consumers
+    # (materials.texture.triangle_material) treat it so.
     emission_from_texture: Array = None
 
     @staticmethod
@@ -279,8 +282,6 @@ class RenderConfig:
     focus_distance: float = 3.0     # focus_distance (main.c:304)
     aperture_x: float = 0.0         # ouverture_x
     aperture_y: float = 0.0         # ouverture_y
-    ior_stack_depth: int = 8        # kept for spec compat; pile.h reduces to one
-                                    # carried medium_n2 scalar (see integrator.path)
     hsl_l_factor: float = 1.0       # emissive HSL boost (main.c:156; 1.2 in CUDA)
     hsl_s_factor: float = 1.0
     bright_boost: float = 1.3       # throughput boost hack (main.c:214-216)

@@ -48,21 +48,31 @@ def save_checkpoint(
     path: str, rad: np.ndarray, alb: np.ndarray, nrm: np.ndarray,
     samples_done: int, cfg: RenderConfig, seed: int,
 ) -> None:
+    # sidecar first (its content — the config fingerprint — is constant
+    # across flushes, so landing it before the npz is always consistent);
+    # both writes are tmp + os.replace so a crash never leaves a torn file
+    tmp_json = path + ".json.tmp"
+    with open(tmp_json, "w") as f:
+        json.dump(_fingerprint(cfg, seed), f)
+    os.replace(tmp_json, path + ".json")
     tmp = path + ".tmp.npz"
     np.savez_compressed(
         tmp.removesuffix(".npz"),
         radiance=rad, albedo=alb, normal=nrm,
         samples_done=np.int64(samples_done),
     )
-    os.replace(tmp, path)  # atomic: a crash never corrupts the checkpoint
-    with open(path + ".json", "w") as f:
-        json.dump(_fingerprint(cfg, seed), f)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(
     path: str, cfg: RenderConfig, seed: int
 ) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
     if not os.path.exists(path):
+        return None
+    if not os.path.exists(path + ".json"):
+        # npz without its fingerprint sidecar (crash in the save window of
+        # an old version, or a hand-deleted file): treat as no checkpoint
+        # rather than crashing the resume
         return None
     with open(path + ".json") as f:
         meta = json.load(f)
@@ -94,9 +104,16 @@ def render_image_checkpointed(
     ckpt_path: str,
     flush_every: int = 64,
     log=None,
+    progress=None,
 ) -> RenderOutput:
     """Full-frame render that flushes accumulator checkpoints every
-    ``flush_every`` samples and resumes from ``ckpt_path`` if present."""
+    ``flush_every`` samples and resumes from ``ckpt_path`` if present.
+
+    ``progress``, if given, is called as ``progress(samples_done,
+    rad_sums)`` after every flush (rad_sums: (n_pixels, 3) numpy) — the
+    hook the CLI's RenderMonitor (previews, JSON progress lines) attaches
+    to (SURVEY.md §5.5).
+    """
     n_pix = cfg.n_pixels
     raw = (
         jax.random.key_data(key)
@@ -116,26 +133,40 @@ def render_image_checkpointed(
         nrm = np.zeros((n_pix, 3), np.float32)
         done = 0
 
-    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    # stream pixels in cfg.pixel_tile batches like render_image: one whole
+    # frame per device call would materialize the per-bounce (B, prims)
+    # matrices for every pixel at once on the XLA fallback path (~GBs at
+    # 1200x900 mesh scenes) — exactly the long-render case checkpointing
+    # exists for
+    tile = min(cfg.pixel_tile, n_pix)
+    n_tiles = (n_pix + tile - 1) // tile
+    all_ids = np.minimum(np.arange(n_tiles * tile, dtype=np.int32), n_pix - 1)
+
     while done < cfg.spp:
         n = min(flush_every, cfg.spp - done)
-        # resume the scan CARRY from the checkpointed sums: the left-fold
-        # association of the f32 adds is then identical to an
-        # uninterrupted run, making resume bit-exact
-        init = RenderSums(
-            Vec3.from_array(jnp.asarray(rad)),
-            Vec3.from_array(jnp.asarray(alb)),
-            Vec3.from_array(jnp.asarray(nrm)),
-            jnp.asarray(done, jnp.int32),
-        )
-        sums = _render_batch(scene, cam, cfg, pixel_ids, key, done, init, n=n)
-        rad = np.asarray(sums.radiance.to_array())
-        alb = np.asarray(sums.albedo.to_array())
-        nrm = np.asarray(sums.normal.to_array())
+        for t in range(n_tiles):
+            lo, hi_pad = t * tile, (t + 1) * tile
+            hi = min(hi_pad, n_pix)
+            ids = jnp.asarray(all_ids[lo:hi_pad])
+            # resume the scan CARRY from the checkpointed sums: the
+            # left-fold association of the f32 adds is then identical to
+            # an uninterrupted run, making resume bit-exact
+            init = RenderSums(
+                Vec3.from_array(jnp.asarray(rad[all_ids[lo:hi_pad]])),
+                Vec3.from_array(jnp.asarray(alb[all_ids[lo:hi_pad]])),
+                Vec3.from_array(jnp.asarray(nrm[all_ids[lo:hi_pad]])),
+                jnp.asarray(done, jnp.int32),
+            )
+            sums = _render_batch(scene, cam, cfg, ids, key, done, init, n=n)
+            rad[lo:hi] = np.asarray(sums.radiance.to_array())[: hi - lo]
+            alb[lo:hi] = np.asarray(sums.albedo.to_array())[: hi - lo]
+            nrm[lo:hi] = np.asarray(sums.normal.to_array())[: hi - lo]
         done += n
         save_checkpoint(ckpt_path, rad, alb, nrm, done, cfg, seed)
         if log:
             log(f"{done}/{cfg.spp} samples checkpointed")
+        if progress:
+            progress(done, rad)
 
     return assemble_image(cfg, rad, alb, nrm)
 

@@ -42,6 +42,12 @@ def read_ppm(path: str, bottom_up: bool = True, use_native: bool = True) -> np.n
             return rgb
     with open(path, "rb") as f:
         data = f.read()
+    # spec-legal '#' comments run to end-of-line; the native parser and
+    # this fallback must agree on them (tests/test_native.py)
+    if b"#" in data:
+        import re
+
+        data = re.sub(rb"#[^\n\r]*", b" ", data)
     tokens = data.split()
     if tokens[0] != b"P3":
         raise ValueError(f"{path}: not an ASCII P3 PPM (got {tokens[0]!r})")

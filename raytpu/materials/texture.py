@@ -132,9 +132,10 @@ def triangle_material(
         tex_alpha = jnp.ones(mat_id.shape, jnp.float32)
 
     emission = table.emission.take(mat_id)
-    eft = gather1d(table.emission_from_texture, mat_id)
-    # texture-modulated emission (superset flag; see MatTable)
-    emission = Vec3.where(eft, emission * rgb, emission)
+    if table.emission_from_texture is not None:
+        eft = gather1d(table.emission_from_texture, mat_id)
+        # texture-modulated emission (superset flag; see MatTable)
+        emission = Vec3.where(eft, emission * rgb, emission)
     emission_strength = gather1d(table.emission_strength, mat_id)
     reflection = gather1d(table.reflection, mat_id)
     ior = gather1d(table.ior, mat_id)

@@ -35,13 +35,13 @@ class RenderMonitor:
     def __init__(
         self,
         cfg: RenderConfig,
-        out=sys.stderr,
+        out=None,
         preview_path: Optional[str] = None,
         preview_every: int = 0,
         structured: bool = False,
     ):
         self.cfg = cfg
-        self.out = out
+        self.out = out  # None -> sys.stderr at emit time (late bound)
         self.preview_path = preview_path
         self.preview_every = preview_every
         self.structured = structured
@@ -72,7 +72,7 @@ class RenderMonitor:
                 f"({100*frac:.1f}%)  {rps/1e6:.1f} Mrays/s  "
                 f"elapsed {elapsed:.1f}s  eta {eta:.1f}s"
             )
-        print(line, file=self.out, flush=True)
+        print(line, file=self.out or sys.stderr, flush=True)
 
         if (
             self.preview_path

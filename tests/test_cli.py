@@ -48,6 +48,33 @@ def test_render_denoise_and_aov(tmp_path):
     assert os.path.exists(str(tmp_path / "d_normal.png"))
 
 
+def test_render_checkpoint_preview_and_json(tmp_path, capsys):
+    """--preview writes a preview PNG at every flush and --log-json emits
+    machine-parseable progress lines (the monitor must actually be driven
+    by the checkpointed render, SURVEY.md §5.5)."""
+    out = str(tmp_path / "x.png")
+    prev = str(tmp_path / "preview.png")
+    ckpt = str(tmp_path / "state.npz")
+    rc = main([
+        "render", "cornell", "--spp", "4", "--width", "16", "--height",
+        "12", "--out", out, "--checkpoint", ckpt, "--flush-every", "2",
+        "--preview", prev, "--log-json",
+    ])
+    assert rc == 0 and os.path.exists(out)
+    assert os.path.exists(prev), "--preview never wrote a file"
+    from PIL import Image
+
+    assert np.asarray(Image.open(prev)).shape == (12, 16, 3)
+    json_lines = [
+        json.loads(l)
+        for l in capsys.readouterr().err.splitlines()
+        if l.startswith("{")
+    ]
+    assert len(json_lines) == 2  # one per flush (spp=4 / flush_every=2)
+    assert json_lines[-1]["samples"] == 4
+    assert json_lines[-1]["rays_per_s"] > 0
+
+
 def test_train_reduces_loss(tmp_path, capsys):
     # target = a render of the scene itself, so optimization must converge
     target = str(tmp_path / "t.png")

@@ -84,7 +84,9 @@ def test_cuda_hsl_boost_matches_oracle():
 
 
 @pytest.mark.slow
-def test_cornell_dof_matches_oracle():
+def test_cornell_dof_asym_matches_oracle():
+    """Asymmetric aperture (ouverture_x != ouverture_y) variant — the
+    reference jitters x and y independently (camera.h:44-45)."""
     scene, cam, _ = cornell_box()
     cfg = RenderConfig(
         width=12, height=8, spp=3, max_bounces=3,

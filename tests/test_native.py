@@ -47,6 +47,23 @@ def test_ppm_native_matches_python():
         np.testing.assert_array_equal(a, b)
 
 
+def test_ppm_header_comments(tmp_path):
+    """'#' comments are PPM-spec-legal; both parsers must accept them
+    and agree (the reference's own writer never emits them, but GIMP
+    and ImageMagick do)."""
+    p = tmp_path / "c.ppm"
+    p.write_text(
+        "P3\n# made by gimp\n2 2 # inline dims comment\n255\n"
+        "# row 0\n255 0 0  0 255 0\n0 0 255  255 255 255\n"
+    )
+    a = read_ppm(str(p), use_native=True)
+    b = read_ppm(str(p), use_native=False)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (2, 2, 3)
+    # bottom-up storage: file row 0 lands at array row 1
+    np.testing.assert_allclose(a[1, 0], [1.0, 0.0, 0.0])
+
+
 def test_missing_file_falls_back():
     with pytest.raises(FileNotFoundError):
         parse_obj("/nonexistent/x.obj", use_native=True)
