@@ -1,12 +1,20 @@
-"""Headline benchmark: forward rays/sec/chip at the BASELINE.json flagship
-config (1200x900, 1000 spp, 6 bounces, 10-sphere Cornell scene —
-/root/reference/README.md:99-122's comparison config).
+"""Benchmark suite: rays/sec/chip over the BASELINE.json configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the most recent recorded BENCH_r*.json
-value (the reference publishes no machine-readable numbers — BASELINE.md).
+Default run emits ONE JSON line per metric:
+  * forward rays/s for each of the five BASELINE.json configs
+    (mesh configs measured at reduced spp — per-ray cost is
+    spp-invariant because samples scan inside one jitted program),
+  * forward+backward rays/s at the flagship config (grad of a
+    photometric loss through the whole render, the BASELINE.json
+    metric's second half),
+  * LAST line: the flagship forward metric (the driver's headline;
+    same metric name across rounds so vs_baseline tracks progress).
 
-Usage: python bench.py [--spp N] [--width W] [--height H] [--bounces B]
+Usage:
+  python bench.py                 # full suite (final line = headline)
+  python bench.py --quick         # headline metric only
+  python bench.py --scene scenes/mcworld_water.toml [--bwd] [--spp N]
+  python bench.py --mesh 2x4      # shard over a (tiles,samples) mesh
 """
 
 from __future__ import annotations
@@ -20,30 +28,164 @@ import sys
 import time
 
 
-def previous_value(repo_root: str) -> float | None:
-    """Latest recorded bench value from BENCH_r{N}.json, if any."""
+def previous_value(repo_root: str, metric: str) -> float | None:
+    """Latest recorded value for ``metric`` from BENCH_r{N}.json files.
+
+    Handles both shapes: a raw metric line {"metric","value",...} and the
+    driver's record {"parsed": {...}, "tail": "..."} (possibly with
+    several JSON lines in the tail).
+    """
     best_round, best_val = -1, None
     for path in glob.glob(os.path.join(repo_root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
+        if not m or int(m.group(1)) <= best_round:
             continue
         try:
             with open(path) as f:
                 data = json.load(f)
-            val = float(data["value"])
         except Exception:
             continue
-        if int(m.group(1)) > best_round:
-            best_round, best_val = int(m.group(1)), val
+        candidates = []
+        if isinstance(data.get("parsed"), dict):
+            candidates.append(data["parsed"])
+        for line in str(data.get("tail", "")).splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    candidates.append(json.loads(line))
+                except Exception:
+                    pass
+        if "value" in data:
+            candidates.append(data)
+        for c in candidates:
+            if c.get("metric") == metric and "value" in c:
+                best_round, best_val = int(m.group(1)), float(c["value"])
     return best_val
+
+
+def _sync(x) -> float:
+    """block_until_ready does not reliably block on the experimental axon
+    platform; a scalar device->host transfer always does."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def measure_fwd(scene, cam, cfg, mesh=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytpu.integrator.render import render
+
+    if mesh is not None:
+        from raytpu.sharding import render_sharded
+
+        fn = jax.jit(
+            lambda sc, ca, pids, key: render_sharded(sc, ca, cfg, pids, key, mesh)
+        )
+    else:
+        fn = jax.jit(lambda sc, ca, pids, key: render(sc, ca, cfg, pids, key))
+    pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    _sync(fn(scene, cam, pixel_ids, key).radiance.x)  # compile + warm
+    t0 = time.perf_counter()
+    out = fn(scene, cam, pixel_ids, key)
+    _sync(out.radiance.x)
+    elapsed = time.perf_counter() - t0
+
+    # sanity: the render must be a real image, not NaN/zero garbage
+    mean = float(np.asarray(out.radiance.x, np.float64).mean()) / cfg.spp
+    assert np.isfinite(mean) and mean > 0.0, f"broken render (mean={mean})"
+    return cfg.n_pixels * cfg.spp * cfg.max_bounces / elapsed
+
+
+def measure_fwd_bwd(scene, cam, cfg):
+    """rays/s for one forward+backward pass: value_and_grad of a
+    photometric loss w.r.t. every float scene leaf through the whole
+    render (the loop BASELINE names, /root/reference/main.c:245-284
+    differentiated end-to-end). Rays counted as the forward count."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytpu.integrator.render import render
+    from raytpu.train import combine_scene, partition_scene
+    from raytpu.train.inverse import photometric_loss
+
+    params, static = partition_scene(scene)
+    target = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    def loss_fn(params):
+        sc = combine_scene(params, static)
+        sums = render(sc, cam, cfg, pixel_ids, key)
+        return photometric_loss(sums.radiance * (1.0 / cfg.spp), target)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    loss, grads = vg(params)  # compile + warm
+    _sync(loss)
+    t0 = time.perf_counter()
+    loss, grads = vg(params)
+    _sync(loss)
+    _sync(grads.spheres.center.x if scene.spheres.count else grads.triangles.a.x)
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(float(loss))
+    return cfg.n_pixels * cfg.spp * cfg.max_bounces / elapsed
+
+
+def emit(metric, value, prev):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(value / prev, 4) if prev else 1.0,
+    }), flush=True)
+
+
+HEADLINE = "fwd_rays_per_sec_chip_1200x900x1000spp_6b"
+
+# BASELINE.json's five configs: (metric tag, scene spec, overrides).
+# Mesh configs are timed at reduced spp (cost per ray is spp-invariant;
+# full-spp renders of config 5 would take ~5 min each on the XLA path).
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CONFIGS = [
+    ("cfg1_cornell_400x300", "cornell", {}),
+    ("cfg2_dof_ao_800x600", f"{ROOT}/scenes/cornell_dof_ao.toml", {"spp": 100}),
+    ("cfg3_pyramide_1000x750", f"{ROOT}/scenes/pyramide.toml", {"spp": 50}),
+    ("cfg4_grassblock_1000x750", f"{ROOT}/scenes/grass_block.toml", {"spp": 50}),
+    ("cfg5_mcworld_1200x900", f"{ROOT}/scenes/mcworld_water.toml", {"spp": 20}),
+]
+
+
+def flagship():
+    from raytpu.scenes import cornell_box
+
+    scene, cam, cfg = cornell_box()
+    cfg = cfg.replace(
+        width=1200, height=900, spp=1000, max_bounces=6,
+        # production fast path: the full-bounce-loop Pallas megakernel
+        # (bit-identical to the scan integrator, tests/test_megakernel.py;
+        # render() falls back automatically on unsupported configs)
+        use_megakernel=True,
+    )
+    return scene, cam, cfg
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--spp", type=int, default=1000)
-    ap.add_argument("--width", type=int, default=1200)
-    ap.add_argument("--height", type=int, default=900)
-    ap.add_argument("--bounces", type=int, default=6)
+    ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--bounces", type=int, default=None)
+    ap.add_argument("--scene", default=None,
+                    help="bench one scene spec / builtin instead of the suite")
+    ap.add_argument("--bwd", action="store_true",
+                    help="measure forward+backward (grad through the render)")
+    ap.add_argument("--quick", action="store_true",
+                    help="headline flagship metric only")
     ap.add_argument(
         "--mesh", default=None, metavar="TILESxSAMPLES",
         help="shard over a ('tiles','samples') device mesh, e.g. 1x4 — "
@@ -53,71 +195,72 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
-    from raytpu.integrator.render import render
-    from raytpu.scenes import cornell_box
+    from raytpu.config import load_scene
 
-    scene, cam, cfg = cornell_box()
-    cfg = cfg.replace(
-        width=args.width, height=args.height,
-        spp=args.spp, max_bounces=args.bounces,
-        # production fast path: the full-bounce-loop Pallas megakernel
-        # (bit-identical to the scan integrator, tests/test_megakernel.py;
-        # render() falls back automatically on unsupported configs)
-        use_megakernel=True,
-    )
+    def overrides(cfg):
+        over = {}
+        if args.spp is not None:
+            over["spp"] = args.spp
+        if args.width is not None:
+            over["width"] = args.width
+        if args.height is not None:
+            over["height"] = args.height
+        if args.bounces is not None:
+            over["max_bounces"] = args.bounces
+        return cfg.replace(**over) if over else cfg
 
+    dev_mesh = None
     if args.mesh:
-        from raytpu.sharding import make_mesh, render_sharded
+        from raytpu.sharding import make_mesh
 
         nt, ns = (int(x) for x in args.mesh.lower().split("x"))
-        mesh = make_mesh(nt, ns)
-        fn = jax.jit(
-            lambda sc, ca, pids, key: render_sharded(
-                sc, ca, cfg, pids, key, mesh
-            )
-        )
-    else:
-        fn = jax.jit(lambda sc, ca, pids, key: render(sc, ca, cfg, pids, key))
-    pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
-    key = jax.random.PRNGKey(0)
+        dev_mesh = make_mesh(nt, ns)
 
-    def sync(x):
-        # block_until_ready does not reliably block on the experimental
-        # axon platform; a scalar device->host transfer always does.
-        return float(jnp.sum(x))
+    # the Pallas megakernel only lowers on TPU backends; CPU smoke runs
+    # (and the virtual-device test harness) take the scan path
+    mk = jax.default_backend() != "cpu"
 
-    # compile + warm run (excluded from timing)
-    sync(fn(scene, cam, pixel_ids, key).radiance.x)
+    if args.scene:
+        scene, cam, cfg = load_scene(args.scene)
+        cfg = overrides(cfg).replace(use_megakernel=mk)
+        tag = os.path.splitext(os.path.basename(args.scene))[0]
+        if args.bwd:
+            val = measure_fwd_bwd(scene, cam, cfg)
+            emit(f"fwd_bwd_rays_per_sec_chip_{tag}", val, None)
+        else:
+            val = measure_fwd(scene, cam, cfg, mesh=dev_mesh)
+            if dev_mesh is not None:
+                val /= jax.device_count()
+            emit(f"fwd_rays_per_sec_chip_{tag}", val, None)
+        return
 
-    t0 = time.perf_counter()
-    out = fn(scene, cam, pixel_ids, key)
-    sync(out.radiance.x)
-    elapsed = time.perf_counter() - t0
+    scene, cam, cfg = flagship()
+    cfg = overrides(cfg).replace(use_megakernel=mk)
 
-    rays = cfg.n_pixels * cfg.spp * cfg.max_bounces
-    rays_per_sec = rays / elapsed
-    if args.mesh:
+    if not args.quick:
+        # per-config forward numbers (VERDICT round-1 weak #2: these were
+        # hand-recorded; now the suite emits them)
+        for tag, spec, over in CONFIGS:
+            s, c, k = load_scene(spec)
+            k = k.replace(use_megakernel=mk, **over)
+            v = measure_fwd(s, c, k)
+            emit(f"fwd_rays_per_sec_chip_{tag}", v,
+                 previous_value(ROOT, f"fwd_rays_per_sec_chip_{tag}"))
+        # flagship forward+backward (the second half of BASELINE's metric),
+        # at reduced spp — per-ray cost is spp-invariant
+        bwd_cfg = cfg.replace(spp=50)
+        v = measure_fwd_bwd(scene, cam, bwd_cfg)
+        emit("fwd_bwd_rays_per_sec_chip_1200x900_6b", v,
+             previous_value(ROOT, "fwd_bwd_rays_per_sec_chip_1200x900_6b"))
+
+    val = measure_fwd(scene, cam, cfg, mesh=dev_mesh)
+    if dev_mesh is not None:
         # per-CHIP metric: divide the aggregate mesh throughput by the
         # device count so vs_baseline against a 1-chip record measures
         # scaling efficiency, not raw aggregate speedup
-        rays_per_sec /= jax.device_count()
-
-    # sanity: the render must be a real image, not NaN/zero garbage
-    mean = float(np.asarray(out.radiance.x, np.float64).mean()) / cfg.spp
-    assert np.isfinite(mean) and mean > 0.0, f"broken render (mean={mean})"
-
-    prev = previous_value(os.path.dirname(os.path.abspath(__file__)))
-    vs_baseline = rays_per_sec / prev if prev else 1.0
-
-    print(json.dumps({
-        "metric": "fwd_rays_per_sec_chip_1200x900x1000spp_6b",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(vs_baseline, 4),
-    }))
+        val /= jax.device_count()
+    emit(HEADLINE, val, previous_value(ROOT, HEADLINE))
 
 
 if __name__ == "__main__":

@@ -15,9 +15,12 @@ Usage: python tools/profile_mesh.py [--scene scenes/mcworld_water.toml]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -101,10 +104,28 @@ def main() -> None:
             return body
         return deco
 
+    @case("empty")
+    def _(o, d, i):
+        # measures the per-scan-step floor (perturbation + reduce only)
+        return jnp.sum(o.x) * 1e-6
+
     @case("tri_dist_argmin")
     def _(o, d, i):
         dists = triangle_distances(o, d, geom, cfg.tri_det_eps, cfg.tri_eps)
         return jnp.sum(jnp.argmin(dists, axis=1).astype(jnp.float32))
+
+    @case("both_gathers")
+    def _(o, d, i):
+        idx = (jnp.arange(B) + i.astype(jnp.int32)) % max(T, 1)
+        g = gather_channels(chans, idx)
+        acc = sum(jnp.sum(c.astype(jnp.float32)) for c in g[:3])
+        if atlas_n > 0:
+            u = (o.x * 7.7 + i) % 1.0
+            v = (o.y * 3.3) % 1.0
+            mid = (jnp.arange(B) % scene.atlas.count).astype(jnp.int32)
+            rgb, a = atlas_fetch(scene.atlas, mid, u, v)
+            acc = acc + jnp.sum(rgb.x) + jnp.sum(a)
+        return acc
 
     @case("pallas_select")
     def _(o, d, i):
