@@ -97,11 +97,14 @@ def render(
     # residual footprint is one sample's carry, and each sample's bounce
     # scan is recomputed during its backward step (HBM-for-FLOPs trade,
     # SURVEY.md 'jax.checkpoint / rematerialisation').
-    use_mk = False
+    kernel_fn = None
     if cfg.use_megakernel:
-        from raytpu.kernels.trace_spheres import supported, trace_megakernel
+        from raytpu.kernels import trace_scene, trace_spheres
 
-        use_mk = supported(scene, cfg)
+        if trace_spheres.supported(scene, cfg):
+            kernel_fn = trace_spheres.trace_megakernel
+        elif trace_scene.supported(scene, cfg):
+            kernel_fn = trace_scene.trace_mesh_megakernel
 
     def scan_sample(scene, cam, s):
         ray_keys = rng.sample_keys(pix_keys, s)
@@ -111,13 +114,14 @@ def render(
         origin, direction = sample_rays(cam, cfg, pixel_ids, cam_draws)
         return trace(scene, cfg, origin, direction, bounce_draws)
 
-    if use_mk:
+    if kernel_fn is not None:
         # megakernel forward + scan-path backward: pl.pallas_call has no
         # VJP rule, so differentiating through the kernel would fail at
         # trace time. The custom VJP recomputes the sample via the scan
         # integrator inside the pullback (their forward values agree —
-        # tests/test_megakernel.py), making use_megakernel safe under
-        # jax.grad at scan-path backward cost.
+        # tests/test_megakernel.py, tests/test_mesh_megakernel.py),
+        # making use_megakernel safe under jax.grad at scan-path
+        # backward cost.
         @jax.custom_vjp
         def mk_sample(scene, cam, s):
             ray_keys = rng.sample_keys(pix_keys, s)
@@ -125,7 +129,7 @@ def render(
                 ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
             )
             origin, direction = sample_rays(cam, cfg, pixel_ids, cam_draws)
-            return trace_megakernel(
+            return kernel_fn(
                 scene, cfg, origin, direction, bounce_draws,
                 interpret=cfg.pallas_interpret,
             )

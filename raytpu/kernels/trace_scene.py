@@ -1,0 +1,726 @@
+"""Pallas megakernel: the ENTIRE bounce loop for sphere + triangle scenes.
+
+The triangle-scene counterpart of kernels/trace_spheres.py — the
+reference's flagship workloads are textured OBJ meshes
+(/root/reference/main.c:361-374, triangle.hu) and round 1 left them
+13-86x below the sphere path, bounded by per-bounce HBM round-trips:
+dense (B, T) distance matrices (+argmin), a 25-channel winner row-gather
+and an atlas row-gather per bounce. Here everything happens in one
+kernel launch per ray tile:
+
+  * closest-hit: spheres (static unroll) then triangles in 128-wide
+    chunks behind a per-chunk AABB slab cull (hit_BBox,
+    /root/reference/triangle.hu:42-59, generalized per chunk), with the
+    candidate loop carrying the winner's vertices/UVs/material through
+    ``better`` selects — the distance matrix and the winner gather never
+    exist.
+  * texturing: nearest-texel fetch (tri_uvmapping, texture.h:44-69)
+    computed in-kernel as one-hot MXU contractions against the
+    VMEM-resident atlas — out(8ch, 128 rays) = atlas_chunk(8, 128texels)
+    @ onehot(128texels, 128rays), accumulated over texel chunks.
+    One-hot selection in f32 is exact, so texels match jnp.take
+    bit-for-bit (tools/probe_texdot.py).
+  * the full bounce-state (origin, direction, throughput, radiance,
+    AOVs, alive mask, medium IOR) stays in registers/VMEM across all
+    bounces; a bounce whose tile has no live rays is skipped entirely
+    (lax.cond) — fixed-depth semantics with early-out cost, something
+    the XLA scan path cannot express.
+
+Bit-exactness: every formula (Moller-Trumbore epsilons, area-ratio
+barycentrics texture.h:16-27, fmod UV wrap, texel indexing, the x1.3
+double-multiply quirk, reduced pile.h medium scalar, HSL boost) is
+op-for-op the scan path's (integrator/path.py, integrator/hit.py,
+materials/texture.py), applied to the same f32 values in the same
+order, so outputs are bit-identical to the scan integrator
+(tests/test_mesh_megakernel.py).
+
+Scope: spheres <= 64, 1..2048 triangles, materials <= 64, optional
+texture atlas, refraction/cutout/HSL/bright-boost, forward only, AO
+off, no equirect sky (those fall back to the scan path; render()
+dispatches automatically and uses the scan path for gradients via the
+same custom-VJP wrapper as the sphere megakernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.core.types import RenderConfig, Scene
+from raytpu.core.vec3 import Vec3
+from raytpu.geometry.triangle import TriangleGeom, precompute
+from raytpu.kernels._common import BIG, LANE, pad_prims, pad_rows
+
+ROWS = 8            # rays per grid step = 1024; the triangle loop carries
+                    # ~21 winner planes, so smaller tiles than the sphere
+                    # kernel keep register spills in check
+MAX_TRIS = 2048     # SMEM budget: 25 ch x 2048 x 4B = 200KB (v5e probe
+                    # accepted >= 256KB; spheres/boxes/mats add ~10KB)
+MAX_MATS = 64
+MAX_TEX_CHUNKS = 512  # VMEM atlas cap: 512*8*128*4B = 2MB
+
+
+def supported(scene: Scene, cfg: RenderConfig) -> bool:
+    """Mesh-megakernel eligibility; render() falls back to the scan path
+    (or the sphere megakernel) otherwise."""
+    n_tex = scene.atlas.alpha.shape[0]
+    return (
+        scene.triangles.count > 0
+        and scene.triangles.count <= MAX_TRIS
+        and scene.spheres.count <= 64
+        and scene.sky_sphere_index < 0
+        and not cfg.use_ao
+        and scene.mat_table.emission_strength.shape[0] <= MAX_MATS
+        and -(-n_tex // LANE) <= MAX_TEX_CHUNKS
+    )
+
+
+def _kernel(
+    sph_ref,      # SMEM (14, S_pad): cx cy cz r | dif3 emi3 estr refl alpha ior
+    tri_ref,      # SMEM (25, T_pad): a3 ab3 ac3 n3 b3 c3 ua va ub vb uc vc mat
+    box_ref,      # SMEM (6, n_chunks): chunk AABB lo3 hi3
+    mat_ref,      # SMEM (9, M_pad): em3 estr refl ior alpha_c use_c eft
+    atlas_ref,    # VMEM (n_tex_chunks, 8, 128): r g b a 0 0 0 0 x texel
+    ox, oy, oz, dx, dy, dz,           # VMEM (ROWS, LANE) ray tiles
+    draws_ref,                         # VMEM (BN*3, ROWS, LANE)
+    inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
+    idx_scr,                           # scratch VMEM (ROWS, LANE) i32
+    tex_r, tex_g, tex_b, tex_a,        # scratch VMEM (ROWS, LANE) f32
+    *, n_spheres, n_tris, n_mats, n_tex_chunks, has_atlas, atlas_w,
+    atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
+    bright_boost, bright_threshold, n_draws, hsl_l, hsl_s,
+):
+    f0 = jnp.zeros(ox.shape, jnp.float32)
+    f1 = jnp.ones(ox.shape, jnp.float32)
+    i0 = jnp.zeros(ox.shape, jnp.int32)
+    n_chunks = box_ref.shape[1]
+
+    # carry tuple: see _CARRY below
+    carry = (
+        ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],   # ray
+        f1, f1, f1,                                  # throughput
+        f0, f0, f0,                                  # incoming radiance
+        f0, f0, f0, f0, f0, f0,                      # albedo + normal AOVs
+        f1, f0, i0, f1,                              # active, is_alpha, alpha_depth, medium_n2
+    )
+
+    def bounce_body(i, carry):
+        (rox, roy, roz, rdx, rdy, rdz,
+         rcx, rcy, rcz, ix, iy, iz,
+         ax_, ay_, az_, nx_, ny_, nz_,
+         active_f, is_alpha_f, alpha_depth, medium_n2) = carry
+        active = active_f > 0.0
+        is_alpha = is_alpha_f > 0.0
+
+        a_quad = rdx * rdx + rdy * rdy + rdz * rdz
+        inv_2a = 0.5 / jnp.maximum(a_quad, 1e-20)
+        best = jnp.full(ox.shape, BIG, jnp.float32)
+        bidx = jnp.full(ox.shape, -1, jnp.int32)
+
+        # ---- spheres (main.c:52-92; scanned before triangles) --------
+        for s in range(n_spheres):
+            cx, cy, cz, r = (
+                sph_ref[0, s], sph_ref[1, s], sph_ref[2, s], sph_ref[3, s]
+            )
+            ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+            b_ = 2.0 * (ocx * rdx + ocy * rdy + ocz * rdz)
+            c_ = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b_ * b_ - 4.0 * a_quad * c_
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-b_ - sq) * inv_2a
+            t2 = (-b_ + sq) * inv_2a
+            hit_s = disc > 0.0
+            t = jnp.where(
+                hit_s & (t1 >= sphere_eps), t1,
+                jnp.where(hit_s & (t2 >= sphere_eps), t2, BIG),
+            )
+            better = t < best
+            best = jnp.where(better, t, best)
+            bidx = jnp.where(better, s, bidx)
+
+        # ---- triangles: chunked-AABB cull + winner-channel selects ---
+        # carried winner channels: a3 b3 c3 n3 ua va ub vb uc vc mat (19)
+        win = (best, bidx) + tuple([f0] * 19)
+
+        def tri_body(t_i, win):
+            (best, bidx, wax, way, waz, wbx, wby, wbz, wcx, wcy, wcz,
+             wnx, wny, wnz, wua, wva, wub, wvb, wuc, wvc, wmat) = win
+            ax, ay, az = tri_ref[0, t_i], tri_ref[1, t_i], tri_ref[2, t_i]
+            abx, aby, abz = tri_ref[3, t_i], tri_ref[4, t_i], tri_ref[5, t_i]
+            acx, acy, acz = tri_ref[6, t_i], tri_ref[7, t_i], tri_ref[8, t_i]
+            nx, ny, nz = tri_ref[9, t_i], tri_ref[10, t_i], tri_ref[11, t_i]
+
+            aox, aoy, aoz = rox - ax, roy - ay, roz - az
+            daox = aoy * rdz - aoz * rdy
+            daoy = aoz * rdx - aox * rdz
+            daoz = aox * rdy - aoy * rdx
+            det = -(rdx * nx + rdy * ny + rdz * nz)
+            inv_det = 1.0 / jnp.where(det >= det_eps, det, 1.0)
+            dst = (aox * nx + aoy * ny + aoz * nz) * inv_det
+            u = (acx * daox + acy * daoy + acz * daoz) * inv_det
+            v = -(abx * daox + aby * daoy + abz * daoz) * inv_det
+            w = 1.0 - u - v
+            valid = (
+                (det >= det_eps) & (dst >= tri_eps)
+                & (u >= tri_eps) & (v >= tri_eps) & (w >= tri_eps)
+            )
+            t = jnp.where(valid, dst, BIG)
+            better = t < best
+
+            sel = lambda cand, old: jnp.where(better, cand, old)
+            return (
+                sel(t, best),
+                jnp.where(better, n_spheres + t_i, bidx),
+                sel(ax, wax), sel(ay, way), sel(az, waz),
+                sel(tri_ref[12, t_i], wbx), sel(tri_ref[13, t_i], wby),
+                sel(tri_ref[14, t_i], wbz),
+                sel(tri_ref[15, t_i], wcx), sel(tri_ref[16, t_i], wcy),
+                sel(tri_ref[17, t_i], wcz),
+                sel(nx, wnx), sel(ny, wny), sel(nz, wnz),
+                sel(tri_ref[18, t_i], wua), sel(tri_ref[19, t_i], wva),
+                sel(tri_ref[20, t_i], wub), sel(tri_ref[21, t_i], wvb),
+                sel(tri_ref[22, t_i], wuc), sel(tri_ref[23, t_i], wvc),
+                sel(tri_ref[24, t_i], wmat),
+            )
+
+        inv_dx = 1.0 / rdx
+        inv_dy = 1.0 / rdy
+        inv_dz = 1.0 / rdz
+
+        def chunk_body(c, win):
+            lo_x, lo_y, lo_z = box_ref[0, c], box_ref[1, c], box_ref[2, c]
+            hi_x, hi_y, hi_z = box_ref[3, c], box_ref[4, c], box_ref[5, c]
+            t0x = (lo_x - rox) * inv_dx
+            t1x = (hi_x - rox) * inv_dx
+            t0y = (lo_y - roy) * inv_dy
+            t1y = (hi_y - roy) * inv_dy
+            t0z = (lo_z - roz) * inv_dz
+            t1z = (hi_z - roz) * inv_dz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            # only live rays can keep a chunk's triangle loop alive
+            enter = jnp.any((tmax >= tmin) & (tmax >= 0.0) & active)
+
+            def run(win):
+                def body(j, win):
+                    return tri_body(c * LANE + j, win)
+
+                return jax.lax.fori_loop(0, LANE, body, win)
+
+            return jax.lax.cond(enter, run, lambda w: w, win)
+
+        win = jax.lax.fori_loop(0, n_chunks, chunk_body, win)
+        (best, bidx, wax, way, waz, wbx, wby, wbz, wcx, wcy, wcz,
+         wnx, wny, wnz, wua, wva, wub, wvb, wuc, wvc, wmat) = win
+
+        did_hit = bidx >= 0
+        tri_wins = bidx >= n_spheres
+        safe_t = jnp.where(did_hit, best, 0.0)
+        px = rox + rdx * safe_t
+        py = roy + rdy * safe_t
+        pz = roz + rdz * safe_t
+
+        # ---- sphere winner channels (select-chain) --------------------
+        ch = [f0] * 14
+        for s in range(n_spheres):
+            m = bidx == s
+            for k in range(14):
+                ch[k] = jnp.where(m, sph_ref[k, s], ch[k])
+        (scx, scy, scz, sr, sdfx, sdfy, sdfz, semx, semy, semz,
+         sestr, srefl, salpha, sior) = ch
+
+        n2s = (px - scx) ** 2 + (py - scy) ** 2 + (pz - scz) ** 2
+        s_inv = jnp.where(
+            (n2s > 0) & did_hit & ~tri_wins,
+            1.0 / jnp.sqrt(jnp.maximum(n2s, 1e-38)), 0.0,
+        )
+        snX = (px - scx) * s_inv
+        snY = (py - scy) * s_inv
+        snZ = (pz - scz) * s_inv
+
+        # ---- triangle normal + barycentric UVs (texture.h:16-63) -----
+        tn2 = wnx * wnx + wny * wny + wnz * wnz
+        t_inv = jnp.where(tn2 > 0, 1.0 / jnp.sqrt(jnp.maximum(tn2, 1e-38)), 0.0)
+        tnX, tnY, tnZ = wnx * t_inv, wny * t_inv, wnz * t_inv
+
+        def area(px1, py1, pz1, qx, qy, qz):
+            # normal . cross(p, q), matching geometry.triangle.barycentric
+            cxx = py1 * qz - pz1 * qy
+            cyy = pz1 * qx - px1 * qz
+            czz = px1 * qy - py1 * qx
+            return tnX * cxx + tnY * cyy + tnZ * czz
+
+        area_abc = area(wbx - wax, wby - way, wbz - waz,
+                        wcx - wax, wcy - way, wcz - waz)
+        area_pbc = area(wbx - px, wby - py, wbz - pz,
+                        wcx - px, wcy - py, wcz - pz)
+        area_pca = area(wcx - px, wcy - py, wcz - pz,
+                        wax - px, way - py, waz - pz)
+        inv_area = 1.0 / jnp.where(jnp.abs(area_abc) > 1e-20, area_abc, 1.0)
+        w_a = area_pbc * inv_area
+        w_b = area_pca * inv_area
+        w_c = 1.0 - w_a - w_b
+
+        def wrap(u):
+            u = u - jnp.trunc(u)          # == fmod(u, 1.0), exactly
+            return jnp.where(u < 0.0, u + 1.0, u)
+
+        uu = wrap(w_a * wua + w_b * wub + w_c * wuc)
+        vv = wrap(w_a * wva + w_b * wvb + w_c * wvc)
+
+        if has_atlas:
+            # nearest-texel index (texture.h:61-69); one-hot MXU fetch.
+            # Lanes with no live triangle hit get index -1: they match no
+            # chunk, so the per-(row, chunk) `need` skip sees only real
+            # demand (a fully sphere/miss/dead tile costs ROWS any-reduces)
+            tex_x = jnp.clip(
+                jnp.floor(uu * atlas_w).astype(jnp.int32), 0, atlas_w - 1
+            )
+            tex_y = jnp.clip(
+                jnp.floor(vv * atlas_h).astype(jnp.int32), 0, atlas_h - 1
+            )
+            mat_i = wmat.astype(jnp.int32)
+            texel = (tex_y * atlas_w + tex_x) + (atlas_h * atlas_w) * mat_i
+            idx_scr[:] = jnp.where(active & tri_wins, texel, -1)
+
+            def tex_fetch(_):
+                def tex_row(r, _):
+                    idx_row = idx_scr[pl.ds(r, 1), :]          # (1, 128)
+                    acc = jnp.zeros((8, LANE), jnp.float32)
+
+                    def tex_chunk(c, acc):
+                        rel = idx_row - c * LANE
+                        # skip chunks no ray in this row addresses
+                        need = jnp.any((rel >= 0) & (rel < LANE))
+
+                        def dot(acc):
+                            sub = jax.lax.broadcasted_iota(
+                                jnp.int32, (LANE, LANE), 0
+                            )
+                            onehot = (sub == rel).astype(jnp.float32)
+                            # HIGHEST: Mosaic's default matmul rounds f32
+                            # operands to bf16 (2^-8 rel error); the
+                            # multi-pass decomposition is exact for a
+                            # one-hot contraction (tools/probe_texdot.py)
+                            return acc + jnp.dot(
+                                atlas_ref[c], onehot,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )
+
+                        return jax.lax.cond(need, dot, lambda a: a, acc)
+
+                    acc = jax.lax.fori_loop(0, n_tex_chunks, tex_chunk, acc)
+                    tex_r[pl.ds(r, 1), :] = acc[0:1]
+                    tex_g[pl.ds(r, 1), :] = acc[1:2]
+                    tex_b[pl.ds(r, 1), :] = acc[2:3]
+                    tex_a[pl.ds(r, 1), :] = acc[3:4]
+                    return 0
+
+                return jax.lax.fori_loop(0, ROWS, tex_row, 0)
+
+            def tex_clear(_):
+                tex_r[:] = f0
+                tex_g[:] = f0
+                tex_b[:] = f0
+                tex_a[:] = f0
+                return 0
+
+            # skip the whole fetch when the tile has no live triangle hit
+            jax.lax.cond(
+                jnp.any(idx_scr[:] >= 0), tex_fetch, tex_clear, 0
+            )
+            trgb_x, trgb_y, trgb_z = tex_r[:], tex_g[:], tex_b[:]
+            t_alpha_tex = tex_a[:]
+        else:
+            # untextured mesh: constant default material (mesh.h:207)
+            trgb_x = jnp.full(ox.shape, 0.784, jnp.float32)
+            trgb_y = jnp.full(ox.shape, 0.965, jnp.float32)
+            trgb_z = f1
+            t_alpha_tex = f1
+
+        # ---- material table (texture.h:71-88 as data) -----------------
+        mt = [f0] * 9
+        for mslot in range(n_mats):
+            m = tri_wins & (wmat == jnp.float32(mslot))
+            for k in range(9):
+                mt[k] = jnp.where(m, mat_ref[k, mslot], mt[k])
+        (temx, temy, temz, testr, trefl, tior, t_ac, t_uc, t_eft) = mt
+        # texture-modulated emission (MatTable.emission_from_texture)
+        temx = jnp.where(t_eft > 0.0, temx * trgb_x, temx)
+        temy = jnp.where(t_eft > 0.0, temy * trgb_y, temy)
+        temz = jnp.where(t_eft > 0.0, temz * trgb_z, temz)
+        t_alpha = jnp.where(t_uc > 0.0, t_ac, t_alpha_tex)
+
+        # ---- merge winner material + normal ---------------------------
+        tsel = lambda t, s: jnp.where(tri_wins, t, s)
+        dfx, dfy, dfz = tsel(trgb_x, sdfx), tsel(trgb_y, sdfy), tsel(trgb_z, sdfz)
+        emx, emy, emz = tsel(temx, semx), tsel(temy, semy), tsel(temz, semz)
+        estr = tsel(testr, sestr)
+        refl = tsel(trefl, srefl)
+        alpha = tsel(t_alpha, salpha)
+        ior = tsel(tior, sior)
+        nX, nY, nZ = tsel(tnX, snX), tsel(tnY, snY), tsel(tnZ, snZ)
+
+        # ================================================================
+        # shading: identical to kernels/trace_spheres.py (which is
+        # bit-identical to integrator/path.py) from here down
+        # ================================================================
+        if i == 0:
+            ax_, ay_, az_ = dfx, dfy, dfz
+            nx_, ny_, nz_ = nX, nY, nZ
+        else:
+            aov_alpha = active & (i == alpha_depth) & is_alpha
+            em = estr > 0.0
+            ax_ = jnp.where(aov_alpha, jnp.where(em, emx, dfx), ax_)
+            ay_ = jnp.where(aov_alpha, jnp.where(em, emy, dfy), ay_)
+            az_ = jnp.where(aov_alpha, jnp.where(em, emz, dfz), az_)
+            nx_ = jnp.where(aov_alpha, nX, nx_)
+            ny_ = jnp.where(aov_alpha, nY, ny_)
+            nz_ = jnp.where(aov_alpha, nZ, nz_)
+            is_alpha = is_alpha & ~aov_alpha
+            is_alpha_f = jnp.where(is_alpha, f1, f0)
+
+        emissive_ret = (
+            active & did_hit & (i == alpha_depth) & (estr > 0.0)
+        )
+        if hsl_l == 1.0 and hsl_s == 1.0:
+            bx, by, bz = emx, emy, emz
+        else:
+            from raytpu.core.color import hsl_boost
+            from raytpu.core.vec3 import Vec3 as _V
+
+            bb_ = hsl_boost(_V(emx, emy, emz), hsl_l, hsl_s)
+            bx, by, bz = bb_.x, bb_.y, bb_.z
+        ix = jnp.where(emissive_ret, bx, ix)
+        iy = jnp.where(emissive_ret, by, iy)
+        iz = jnp.where(emissive_ret, bz, iz)
+        ax_ = jnp.where(emissive_ret, bx, ax_)
+        ay_ = jnp.where(emissive_ret, by, ay_)
+        az_ = jnp.where(emissive_ret, bz, az_)
+        nx_ = jnp.where(emissive_ret, nX, nx_)
+        ny_ = jnp.where(emissive_ret, nY, ny_)
+        nz_ = jnp.where(emissive_ret, nZ, nz_)
+        active = active & ~emissive_ret
+
+        live = active & did_hit
+
+        u_d = draws_ref[n_draws * i + 0]
+        v_d = draws_ref[n_draws * i + 1]
+        roulette = draws_ref[n_draws * i + 2]
+        theta = (2.0 * jnp.float32(jnp.pi)) * u_d
+        cph = jnp.clip(2.0 * v_d - 1.0, -1.0, 1.0)
+        sph_ = jnp.sqrt(jnp.maximum(1.0 - cph * cph, 0.0))
+        rux = jnp.cos(theta) * sph_
+        ruy = jnp.sin(theta) * sph_
+        ruz = cph
+        ddx, ddy, ddz = nX + rux, nY + ruy, nZ + ruz
+        dn2 = ddx * ddx + ddy * ddy + ddz * ddz
+        dinv = jnp.where(dn2 > 0, 1.0 / jnp.sqrt(jnp.maximum(dn2, 1e-38)), 0.0)
+        ddx, ddy, ddz = ddx * dinv, ddy * dinv, ddz * dinv
+        vdn = rdx * nX + rdy * nY + rdz * nZ
+        rfx = rdx - 2.0 * vdn * nX
+        rfy = rdy - 2.0 * vdn * nY
+        rfz = rdz - 2.0 * vdn * nZ
+        drx = ddx + (rfx - ddx) * refl
+        dry = ddy + (rfy - ddy) * refl
+        drz = ddz + (rfz - ddz) * refl
+
+        refr_case = live & (alpha <= alpha_hi) & (alpha >= alpha_lo)
+        exiting = vdn > 0.0
+        nex = jnp.where(exiting, -nX, nX)
+        ney = jnp.where(exiting, -nY, nY)
+        nez = jnp.where(exiting, -nZ, nZ)
+        n1_ = jnp.where(exiting, ior, medium_n2)
+        n2_ = jnp.where(exiting, medium_n2, ior)
+        medium_n2 = jnp.where(refr_case & ~exiting, ior, medium_n2)
+        n1s = n1_ * n1_
+        n2s_ = n2_ * n2_
+        ratio = jnp.clip(n1s / jnp.maximum(n2s_, 1e-20), 0.0, 1e6)
+        ndotv = nex * rdx + ney * rdy + nez * rdz
+        radical = 1.0 - (ratio * ratio) * (1.0 - ndotv * ndotv)
+        ct_scale = rdx * nex + rdy * ney + rdz * nez
+        tanx = (rdx - nex * ct_scale) * ratio
+        tany = (rdy - ney * ct_scale) * ratio
+        tanz = (rdz - nez * ct_scale) * ratio
+        sqr = jnp.sqrt(jnp.maximum(radical, 1e-20))
+        refx = tanx - nex * sqr
+        refy = tany - ney * sqr
+        refz = tanz - nez * sqr
+        vdne = rdx * nex + rdy * ney + rdz * nez
+        mrx = rdx - 2.0 * vdne * nex
+        mry = rdy - 2.0 * vdne * ney
+        mrz = rdz - 2.0 * vdne * nez
+        tir = radical <= 0.0
+        refx = jnp.where(tir, mrx, refx)
+        refy = jnp.where(tir, mry, refy)
+        refz = jnp.where(tir, mrz, refz)
+        do_refract = refr_case & (roulette > alpha)
+
+        cutout = live & (alpha < alpha_lo)
+        opaque = live & (alpha > alpha_hi)
+        is_alpha_f = jnp.where(opaque, f0, is_alpha_f)
+        is_alpha_f = jnp.where(cutout, f1, is_alpha_f)
+        alpha_depth = jnp.where(cutout, alpha_depth + 1, alpha_depth)
+
+        use_dr = live & ~do_refract & ~cutout
+        rox = jnp.where(live, px, rox)
+        roy = jnp.where(live, py, roy)
+        roz = jnp.where(live, pz, roz)
+        rdx = jnp.where(do_refract, refx, jnp.where(use_dr, drx, rdx))
+        rdy = jnp.where(do_refract, refy, jnp.where(use_dr, dry, rdy))
+        rdz = jnp.where(do_refract, refz, jnp.where(use_dr, drz, rdz))
+
+        accum = live & ~do_refract & ~cutout
+        ix = jnp.where(accum, ix + emx * estr * rcx, ix)
+        iy = jnp.where(accum, iy + emy * estr * rcy, iy)
+        iz = jnp.where(accum, iz + emz * estr * rcz, iz)
+        bright = (
+            (rcx > bright_threshold)
+            | (rcy > bright_threshold)
+            | (rcz > bright_threshold)
+        )
+        nbx = jnp.where(bright, dfx * (dfx * (rcx * bright_boost)), dfx * rcx)
+        nby = jnp.where(bright, dfy * (dfy * (rcy * bright_boost)), dfy * rcy)
+        nbz = jnp.where(bright, dfz * (dfz * (rcz * bright_boost)), dfz * rcz)
+        rcx = jnp.where(accum, nbx, rcx)
+        rcy = jnp.where(accum, nby, rcy)
+        rcz = jnp.where(accum, nbz, rcz)
+
+        active_f = jnp.where(active & did_hit, f1, f0)
+
+        return (rox, roy, roz, rdx, rdy, rdz, rcx, rcy, rcz, ix, iy, iz,
+                ax_, ay_, az_, nx_, ny_, nz_,
+                active_f, is_alpha_f, alpha_depth, medium_n2)
+
+    for i in range(bounces):              # static unroll
+        if i == 0:
+            carry = bounce_body(0, carry)
+        else:
+            # whole-bounce skip: once every ray in the tile has returned
+            # (sky/emissive/miss), the remaining fixed-depth bounces cost
+            # one vector any-reduce each
+            carry = jax.lax.cond(
+                jnp.any(carry[18] > 0.0),
+                functools.partial(bounce_body, i),
+                lambda c: c,
+                carry,
+            )
+
+    (_, _, _, _, _, _, _, _, _, ix, iy, iz,
+     ax_, ay_, az_, nx_, ny_, nz_, _, _, _, _) = carry
+    inc_x[:] = ix
+    inc_y[:] = iy
+    inc_z[:] = iz
+    alb_x[:] = ax_
+    alb_y[:] = ay_
+    alb_z[:] = az_
+    nrm_x[:] = nx_
+    nrm_y[:] = ny_
+    nrm_z[:] = nz_
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_spheres", "n_tris", "n_mats", "n_tex_chunks", "has_atlas",
+        "atlas_w", "atlas_h", "bounces", "sphere_eps", "det_eps",
+        "tri_eps", "alpha_lo", "alpha_hi", "bright_boost",
+        "bright_threshold", "n_draws", "hsl_l", "hsl_s", "interpret",
+    ),
+)
+def _trace_call(
+    sph, tri, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws,
+    *, n_spheres, n_tris, n_mats, n_tex_chunks, has_atlas, atlas_w,
+    atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
+    bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, interpret,
+):
+    rows = ox.shape[0]
+    grid = (rows // ROWS,)
+    ray_spec = pl.BlockSpec(
+        (ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    draws_spec = pl.BlockSpec(
+        (draws.shape[0], ROWS, LANE), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    atlas_spec = pl.BlockSpec(
+        atlas.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _kernel,
+        n_spheres=n_spheres, n_tris=n_tris, n_mats=n_mats,
+        n_tex_chunks=n_tex_chunks, has_atlas=has_atlas,
+        atlas_w=atlas_w, atlas_h=atlas_h, bounces=bounces,
+        sphere_eps=sphere_eps, det_eps=det_eps, tri_eps=tri_eps,
+        alpha_lo=alpha_lo, alpha_hi=alpha_hi, bright_boost=bright_boost,
+        bright_threshold=bright_threshold, n_draws=n_draws,
+        hsl_l=hsl_l, hsl_s=hsl_s,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem, smem, smem, smem, atlas_spec]
+        + [ray_spec] * 6
+        + [draws_spec],
+        out_specs=[ray_spec] * 9,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 9,
+        scratch_shapes=[pltpu.VMEM((ROWS, LANE), jnp.int32)]
+        + [pltpu.VMEM((ROWS, LANE), jnp.float32)] * 4,
+        interpret=interpret,
+    )(sph, tri, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws)
+
+
+def pack_scene(scene: Scene, geom: TriangleGeom):
+    """Host-side SoA packing: SMEM tables + the VMEM atlas chunks."""
+    n_s = scene.spheres.count
+    n_t = scene.triangles.count
+    s_pad = max(-(-n_s // 8) * 8, 8)
+    m = scene.spheres.mat
+    sph = pad_prims(
+        [
+            scene.spheres.center.x, scene.spheres.center.y,
+            scene.spheres.center.z, scene.spheres.radius,
+            m.diffuse.x, m.diffuse.y, m.diffuse.z,
+            m.emission.x, m.emission.y, m.emission.z,
+            m.emission_strength, m.reflection, m.alpha, m.ior,
+        ],
+        s_pad,
+    )
+
+    t_pad = max(-(-n_t // LANE) * LANE, LANE)
+    tris = scene.triangles
+    tri = pad_prims(
+        [
+            geom.a.x, geom.a.y, geom.a.z,
+            geom.edge_ab.x, geom.edge_ab.y, geom.edge_ab.z,
+            geom.edge_ac.x, geom.edge_ac.y, geom.edge_ac.z,
+            geom.normal_raw.x, geom.normal_raw.y, geom.normal_raw.z,
+            tris.b.x, tris.b.y, tris.b.z,
+            tris.c.x, tris.c.y, tris.c.z,
+            tris.ua, tris.va, tris.ub, tris.vb, tris.uc, tris.vc,
+            tris.mat_id.astype(jnp.float32),
+        ],
+        t_pad,
+    )
+
+    # per-128-chunk AABBs (as kernels/intersect.py, incl. the 1-ulp
+    # conservative inflation for the recomputed b/c vertices)
+    n_chunks = t_pad // LANE
+    vb = geom.a + geom.edge_ab
+    vc = geom.a + geom.edge_ac
+    lo, hi = [], []
+    for parts in (
+        [geom.a.x, vb.x, vc.x], [geom.a.y, vb.y, vc.y],
+        [geom.a.z, vb.z, vc.z],
+    ):
+        stack = jnp.stack(parts)                       # (3, T)
+        pad = t_pad - n_t
+        lo.append(jnp.min(
+            jnp.pad(stack, ((0, 0), (0, pad)), constant_values=jnp.inf)
+            .reshape(3, n_chunks, LANE), axis=(0, 2),
+        ))
+        hi.append(jnp.max(
+            jnp.pad(stack, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            .reshape(3, n_chunks, LANE), axis=(0, 2),
+        ))
+    boxes = jnp.stack(lo + hi)
+    eps = 1e-5 * (jnp.abs(boxes) + 1.0)
+    boxes = boxes + jnp.concatenate([-eps[:3], eps[3:]], axis=0)
+
+    tbl = scene.mat_table
+    n_m = tbl.emission_strength.shape[0]
+    m_pad = max(-(-n_m // 8) * 8, 8)
+    eft = (
+        tbl.emission_from_texture
+        if tbl.emission_from_texture is not None
+        else jnp.zeros((n_m,), bool)
+    )
+    mats = pad_prims(
+        [
+            tbl.emission.x, tbl.emission.y, tbl.emission.z,
+            tbl.emission_strength, tbl.reflection, tbl.ior,
+            tbl.alpha_const, tbl.use_alpha_const.astype(jnp.float32),
+            eft.astype(jnp.float32),
+        ],
+        m_pad,
+    )
+
+    n_tex = scene.atlas.alpha.shape[0]
+    if n_tex > 0:
+        n_tex_chunks = -(-n_tex // LANE)
+        p = n_tex_chunks * LANE - n_tex
+        chans = jnp.stack([
+            jnp.pad(c, (0, p))
+            for c in (scene.atlas.rgb.x, scene.atlas.rgb.y,
+                      scene.atlas.rgb.z, scene.atlas.alpha)
+        ])                                              # (4, P)
+        chans = jnp.concatenate(
+            [chans, jnp.zeros_like(chans)]              # (8, P)
+        )
+        atlas = chans.reshape(8, n_tex_chunks, LANE).transpose(1, 0, 2)
+    else:
+        n_tex_chunks = 1
+        atlas = jnp.zeros((1, 8, LANE), jnp.float32)
+
+    return sph, tri, boxes, mats, atlas, n_tex_chunks
+
+
+def trace_mesh_megakernel(
+    scene: Scene,
+    cfg: RenderConfig,
+    origin: Vec3,
+    direction: Vec3,
+    bounce_draws: Array,
+    interpret: bool = False,
+) -> tuple[Vec3, Vec3, Vec3]:
+    """Drop-in for integrator.path.trace on supported mesh scenes."""
+    b = origin.x.shape[0]
+    rows = max(-(-b // LANE), ROWS)
+    rows = -(-rows // ROWS) * ROWS
+
+    geom = precompute(scene.triangles)
+    sph, tri, boxes, mats, atlas, n_tex_chunks = pack_scene(scene, geom)
+
+    ox, oy, oz = (pad_rows(c, rows) for c in origin)
+    dx, dy, dz = (pad_rows(c, rows) for c in direction)
+
+    bn, nd = bounce_draws.shape[0], bounce_draws.shape[1]
+    draws = bounce_draws.reshape(bn * nd, b)
+    draws = jnp.pad(draws, ((0, 0), (0, rows * LANE - b))).reshape(
+        bn * nd, rows, LANE
+    )
+
+    has_atlas = scene.atlas.alpha.shape[0] > 0
+    out = _trace_call(
+        sph, tri, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws,
+        n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
+        n_mats=scene.mat_table.emission_strength.shape[0],
+        n_tex_chunks=n_tex_chunks, has_atlas=has_atlas,
+        atlas_w=scene.atlas.width, atlas_h=scene.atlas.height,
+        bounces=cfg.max_bounces, sphere_eps=cfg.sphere_eps,
+        det_eps=cfg.tri_det_eps, tri_eps=cfg.tri_eps,
+        alpha_lo=cfg.refr_alpha_lo, alpha_hi=cfg.refr_alpha_hi,
+        bright_boost=cfg.bright_boost,
+        bright_threshold=cfg.bright_threshold,
+        n_draws=nd, hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
+        interpret=interpret,
+    )
+    flat = [o.reshape(-1)[:b] for o in out]
+    return (
+        Vec3(flat[0], flat[1], flat[2]),
+        Vec3(flat[3], flat[4], flat[5]),
+        Vec3(flat[6], flat[7], flat[8]),
+    )

@@ -1,0 +1,204 @@
+"""The mesh megakernel (kernels/trace_scene.py) vs the scan integrator:
+same RNG streams, same semantics — textured triangles, material-table
+physics (refraction/cutout), sphere+mesh mixing — compared in
+interpreter mode on CPU. On TPU the compiled kernel is checked against
+the compiled scan path in bench runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytpu.config import load_scene
+from raytpu.core.types import MatTable, RenderConfig, Scene, TextureAtlas, Triangles
+from raytpu.core.vec3 import Vec3
+from raytpu.integrator.render import render
+from raytpu.kernels.trace_scene import supported
+
+
+def _compare(scene, cam, cfg, key, atol=1e-4, outlier_frac=0.02):
+    """Scan vs mesh megakernel. Interpreter mode runs the kernel op-by-op
+    while the jitted scan gets XLA FMA contraction, so grazing hits /
+    texel-boundary UVs can flip for rare samples (same tolerance policy
+    as tests/test_megakernel.py)."""
+    assert supported(scene, cfg), "scene should take the mesh megakernel"
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    a = render(scene, cam, cfg, pids, key)
+    b = render(
+        scene, cam,
+        cfg.replace(use_megakernel=True, pallas_interpret=True),
+        pids, key,
+    )
+    for name in ("radiance", "albedo", "normal"):
+        x = np.asarray(getattr(a, name).to_array())
+        y = np.asarray(getattr(b, name).to_array())
+        bad = (np.abs(x - y) > atol + 1e-5 * np.abs(x)).any(axis=-1)
+        assert bad.mean() <= outlier_frac, (
+            f"{name}: {bad.mean():.2%} pixels differ "
+            f"(max {np.abs(x - y).max():.4f})"
+        )
+
+
+def _synthetic_textured_scene():
+    """Two textured quads (4 tris, 2 materials, 8x8 atlas) + ground/sun
+    spheres. Material 1 is emissive with texture-modulated emission;
+    the atlas alpha plane includes cutout (0), refractive-window (0.5)
+    and opaque (1) texels, driving every shading branch."""
+    from raytpu.scenes import spheres_from_rows
+
+    rng = np.random.default_rng(7)
+    w = h = 8
+    rgb = rng.random((2 * h * w, 3), np.float32)
+    alpha = rng.choice(
+        np.float32([0.0, 0.5, 1.0]), size=2 * h * w, p=[0.2, 0.2, 0.6]
+    )
+
+    def quad(x0, z0, mat):
+        # two triangles spanning [x0,x0+1]x[z0,z0+1] at y=0.5/0.0
+        a = [(x0, 0.0, z0), (x0, 0.5, z0 + 1), (x0 + 1, 0.0, z0)]
+        b = [(x0 + 1, 0.5, z0 + 1), (x0 + 1, 0.0, z0), (x0, 0.5, z0 + 1)]
+        uv = [(0, 0), (0, 1), (1, 0)], [(1, 1), (1, 0), (0, 1)]
+        return [a, b], uv, [mat, mat]
+
+    tris, uvs, mats = [], [], []
+    for verts, uv, mm in (quad(-1.0, -2.5, 0), quad(0.2, -2.0, 1)):
+        tris += verts
+        uvs += list(uv)
+        mats += mm
+    t = np.float32(tris)          # (4, 3, 3)
+    u = np.float32(uvs)           # (4, 3, 2)
+    v3 = lambda a: Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
+                        jnp.asarray(a[:, 2]))
+    triangles = Triangles(
+        a=v3(t[:, 0]), b=v3(t[:, 1]), c=v3(t[:, 2]),
+        ua=jnp.asarray(u[:, 0, 0]), va=jnp.asarray(u[:, 0, 1]),
+        ub=jnp.asarray(u[:, 1, 0]), vb=jnp.asarray(u[:, 1, 1]),
+        uc=jnp.asarray(u[:, 2, 0]), vc=jnp.asarray(u[:, 2, 1]),
+        mat_id=jnp.asarray(mats, jnp.int32),
+    )
+    atlas = TextureAtlas(
+        rgb=Vec3(jnp.asarray(rgb[:, 0]), jnp.asarray(rgb[:, 1]),
+                 jnp.asarray(rgb[:, 2])),
+        alpha=jnp.asarray(alpha), width=w, height=h,
+    )
+    table = MatTable(
+        emission=Vec3(jnp.float32([0, 1]), jnp.float32([0, 1]),
+                      jnp.float32([0, 0.8])),
+        emission_strength=jnp.float32([0.0, 2.0]),
+        reflection=jnp.float32([0.3, 0.0]),
+        ior=jnp.float32([1.33, 1.0]),
+        alpha_const=jnp.float32([1.0, 1.0]),
+        use_alpha_const=jnp.asarray([False, False]),
+        emission_from_texture=jnp.asarray([False, True]),
+    )
+    rows = [
+        ((0, -501, 0), 500.0, (0.8, 0.8, 0.75), (0, 0, 0), 0.0, 0.0, 1.0, 1.0),
+        ((4, 6, 2), 1.0, (0, 0, 0), (1, 1, 1), 20.0, 0.0, 1.0, 1.0),
+        ((0, 0, 0), 1e4, (0, 0, 0), (0.784, 0.965, 1.0), 1.0, 0.0, 1.0, 1.0),
+    ]
+    scene = Scene(
+        spheres=spheres_from_rows(rows), triangles=triangles, atlas=atlas,
+        mat_table=table, sky=type(Scene.from_spheres(
+            spheres_from_rows(rows)).sky).empty(), sky_sphere_index=-1,
+    )
+    from raytpu.camera import make_camera
+
+    cam = make_camera(
+        origin=(0.3, 0.8, 1.5), target=(0, 0.2, -2), up=(0, 1, 0),
+        vfov_deg=55.0, aspect_ratio=1.5,
+    )
+    return scene, cam
+
+
+def test_synthetic_textured_matches_scan():
+    """Cutout / refractive-window / opaque texels, texture-modulated
+    emission, two materials, sphere+mesh mix — every branch of the
+    bounce in one scene."""
+    scene, cam = _synthetic_textured_scene()
+    cfg = RenderConfig(width=14, height=10, spp=4, max_bounces=5)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(50))
+
+
+def test_pyramide_water_matches_scan():
+    """BASELINE config 3's scene: textured mesh whose material table
+    forces water physics (alpha .6 / ior 1.33 -> probabilistic
+    refraction through the mesh, the pile.h reduction on triangles)."""
+    scene, cam, _ = load_scene("scenes/pyramide.toml")
+    cfg = RenderConfig(width=12, height=8, spp=4, max_bounces=5)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(52))
+
+
+@pytest.mark.slow
+def test_mcworld_matches_scan():
+    """BASELINE config 5's scene: 606 triangles across 5 AABB chunks, 11
+    materials, water refraction — exercises the chunk cull and the
+    multi-chunk one-hot texture fetch."""
+    scene, cam, _ = load_scene("scenes/mcworld_water.toml")
+    cfg = RenderConfig(width=10, height=6, spp=2, max_bounces=4)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(53))
+
+
+def test_untextured_mesh_matches_scan():
+    """Mesh without an atlas: the constant default material path
+    (mesh.h:207)."""
+    scene, cam, _ = load_scene("scenes/pyramide.toml")
+    scene = scene.replace(atlas=TextureAtlas.empty())
+    cfg = RenderConfig(width=10, height=6, spp=2, max_bounces=3)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(54))
+
+
+def test_dispatch_and_fallbacks():
+    """Sphere-only scenes keep taking trace_spheres; small-atlas mesh
+    scenes take trace_scene; AO and big-atlas (grass_block's 1440x1920
+    texture exceeds the VMEM budget) scenes fall back to the scan."""
+    from raytpu.kernels import trace_spheres
+    from raytpu.scenes import cornell_box
+
+    sph_scene, _, _ = cornell_box()
+    cfg = RenderConfig()
+    assert trace_spheres.supported(sph_scene, cfg)
+    assert not supported(sph_scene, cfg)  # no triangles
+
+    mesh_scene, cam, _ = load_scene("scenes/pyramide.toml")
+    assert supported(mesh_scene, cfg)
+    assert not trace_spheres.supported(mesh_scene, cfg)
+    assert not supported(mesh_scene, cfg.replace(use_ao=True))
+
+    big_tex, _, _ = load_scene("scenes/grass_block.toml")
+    assert not supported(big_tex, cfg)
+
+    # AO mesh render still works via the scan fallback
+    cfg2 = RenderConfig(
+        width=8, height=6, spp=2, max_bounces=3, use_ao=True,
+        use_megakernel=True, pallas_interpret=True,
+    )
+    pids = jnp.arange(cfg2.n_pixels, dtype=jnp.int32)
+    out = render(mesh_scene, cam, cfg2, pids, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(out.radiance.to_array())).all()
+
+
+def test_mesh_megakernel_grad_takes_scan_backward():
+    """use_megakernel under jax.grad on a mesh scene must not crash;
+    gradients (incl. texture-value gradients) equal the scan path's."""
+    from raytpu.train import combine_scene, partition_scene
+
+    scene, cam, _ = load_scene("scenes/pyramide.toml")
+    cfg = RenderConfig(
+        width=8, height=6, spp=2, max_bounces=3,
+        use_megakernel=True, pallas_interpret=True,
+    )
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(55)
+    params, static = partition_scene(scene)
+
+    def loss(params, c):
+        sums = render(combine_scene(params, static), cam, c, pids, key)
+        return jnp.mean((sums.radiance.to_array() - 0.2) ** 2)
+
+    g_mk = jax.grad(loss)(params, cfg)
+    g_scan = jax.grad(loss)(params, cfg.replace(use_megakernel=False))
+    np.testing.assert_allclose(
+        np.asarray(g_mk.atlas.rgb.x),
+        np.asarray(g_scan.atlas.rgb.x),
+        rtol=1e-5, atol=1e-6,
+    )

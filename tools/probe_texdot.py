@@ -40,7 +40,8 @@ def _kernel(atlas_ref, idx_ref, r_out, g_out, b_out, a_out, *, n_chunks, reps):
             sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
             onehot = (sub == (idx_row - c * LANE)).astype(jnp.float32)
             return acc + jnp.dot(
-                tbl, onehot, preferred_element_type=jnp.float32
+                tbl, onehot, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH,
             )
 
         acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
@@ -80,7 +81,7 @@ def texdot(atlas, idx, *, n_chunks, reps, interpret=False):
 def main():
     n_texels = int(sys.argv[1]) if len(sys.argv) > 1 else 2816
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
-    reps = 20
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     n_chunks = -(-n_texels // LANE)
     rng = np.random.default_rng(0)
     tex = rng.random((4, n_chunks * LANE), np.float32)
