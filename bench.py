@@ -197,6 +197,15 @@ def main() -> None:
     import jax
 
     from raytpu.config import load_scene
+    from raytpu.sharding import init_distributed
+
+    # multi-host scaling mode: under a distributed launch (env-configured
+    # coordinator), --mesh spans every process's chips and the printed
+    # rays/s/chip divided by the 1-host record IS the scaling efficiency
+    if init_distributed() and jax.process_index() != 0:
+        import builtins
+
+        builtins.print = lambda *a, **k: None  # only process 0 reports
 
     def overrides(cfg):
         over = {}

@@ -95,6 +95,11 @@ def cmd_render(argv) -> int:
 
     from raytpu.config import load_scene
     from raytpu.observe import RenderMonitor, trace_profile
+    from raytpu.sharding import init_distributed
+
+    # no-op unless a coordinator is configured (RAYTPU_COORDINATOR /
+    # RAYTPU_NUM_PROCESSES / RAYTPU_PROCESS_ID env, or a TPU pod)
+    multihost = init_distributed()
 
     scene, cam, cfg = load_scene(scene_name)
     cfg = _apply_overrides(cfg, args)
@@ -137,9 +142,14 @@ def cmd_render(argv) -> int:
                 progress=mon.update,
             )
         elif args.sharded:
-            from raytpu.sharding import render_image_sharded
+            if multihost:
+                from raytpu.sharding import render_image_multihost
 
-            out = render_image_sharded(scene, cam, cfg, key)
+                out = render_image_multihost(scene, cam, cfg, key)
+            else:
+                from raytpu.sharding import render_image_sharded
+
+                out = render_image_sharded(scene, cam, cfg, key)
         else:
             from raytpu.integrator.render import render_image
 
@@ -166,6 +176,8 @@ def cmd_render(argv) -> int:
             np.int32,
         )
 
+    if multihost and jax.process_index() != 0:
+        return 0  # every process holds the frame; only one writes it
     _save(args.out, canvas, image)
     if args.aov:
         base, dot, ext = args.out.rpartition(".")

@@ -28,5 +28,17 @@ from raytpu.sharding.mesh import (
     render_sharded,
     render_image_sharded,
 )
+from raytpu.sharding.multihost import (
+    init_distributed,
+    make_global_mesh,
+    render_image_multihost,
+)
 
-__all__ = ["make_mesh", "render_sharded", "render_image_sharded"]
+__all__ = [
+    "make_mesh",
+    "render_sharded",
+    "render_image_sharded",
+    "init_distributed",
+    "make_global_mesh",
+    "render_image_multihost",
+]
