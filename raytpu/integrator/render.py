@@ -106,7 +106,11 @@ def render(
         elif trace_scene.supported(scene, cfg):
             kernel_fn = trace_scene.trace_mesh_megakernel
 
-    def scan_sample(scene, cam, s):
+    # NOTE: pix_keys / pixel_ids are explicit arguments (not closure
+    # captures): a custom_vjp function must not close over traced values
+    # — under an enclosing jit they become tracers and break residual
+    # packing ("No constant handler for DynamicJaxprTracer").
+    def scan_sample(scene, cam, pix_keys, pixel_ids, s):
         ray_keys = rng.sample_keys(pix_keys, s)
         cam_draws, bounce_draws = rng.ray_uniforms(
             ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
@@ -123,7 +127,7 @@ def render(
         # making use_megakernel safe under jax.grad at scan-path
         # backward cost.
         @jax.custom_vjp
-        def mk_sample(scene, cam, s):
+        def mk_sample(scene, cam, pix_keys, pixel_ids, s):
             ray_keys = rng.sample_keys(pix_keys, s)
             cam_draws, bounce_draws = rng.ray_uniforms(
                 ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
@@ -134,12 +138,14 @@ def render(
                 interpret=cfg.pallas_interpret,
             )
 
-        def _mk_fwd(scene, cam, s):
-            return mk_sample(scene, cam, s), (scene, cam, s)
+        def _mk_fwd(scene, cam, pix_keys, pixel_ids, s):
+            return (
+                mk_sample(scene, cam, pix_keys, pixel_ids, s),
+                (scene, cam, pix_keys, pixel_ids, s),
+            )
 
         def _mk_bwd(res, g):
-            scene, cam, s = res
-            _, pullback = jax.vjp(scan_sample, scene, cam, s)
+            _, pullback = jax.vjp(scan_sample, *res)
             return pullback(g)
 
         mk_sample.defvjp(_mk_fwd, _mk_bwd)
@@ -148,7 +154,7 @@ def render(
         traced_sample = jax.checkpoint(scan_sample)
 
     def sample_step(sums: RenderSums, s: Array):
-        rad, alb, nrm = traced_sample(scene, cam, s)
+        rad, alb, nrm = traced_sample(scene, cam, pix_keys, pixel_ids, s)
         return (
             RenderSums(
                 sums.radiance + rad,

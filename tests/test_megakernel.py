@@ -158,3 +158,13 @@ def test_megakernel_grad_takes_scan_backward():
         np.asarray(g_scan.spheres.mat.diffuse.x),
         rtol=1e-5, atol=1e-6,
     )
+    # regression: the same grad under an ENCLOSING jit — custom_vjp
+    # functions must not close over traced values (pix_keys/pixel_ids
+    # become tracers under jit and used to break residual packing with
+    # "No constant handler for DynamicJaxprTracer")
+    g_jit = jax.jit(lambda p: jax.grad(loss)(p, cfg))(params)
+    np.testing.assert_allclose(
+        np.asarray(g_jit.spheres.mat.diffuse.x),
+        np.asarray(g_scan.spheres.mat.diffuse.x),
+        rtol=1e-5, atol=1e-6,
+    )
