@@ -65,7 +65,13 @@ def cmd_render(argv) -> int:
              "auto-name <scene>_<spp>RAYS_<bounces>RB_<dd>-<mm>_<HH>h<MM>.ppm "
              "(main.c:325-328)",
     )
-    ap.add_argument("--denoise", action="store_true")
+    ap.add_argument(
+        "--denoise", nargs="?", const="bilateral", default=None,
+        choices=["bilateral", "learned"],
+        help="post-pass denoiser: 'bilateral' (joint bilateral on the "
+             "AOVs; the default when the flag is bare) or 'learned' "
+             "(kernel-predicting CNN, raytpu/denoise/learned.py)",
+    )
     ap.add_argument("--sharded", action="store_true",
                     help="render over all devices via the (tiles,samples) mesh")
     ap.add_argument("--aov", action="store_true",
@@ -162,7 +168,11 @@ def cmd_render(argv) -> int:
 
         from raytpu.core.color import quantize, tonemap
         from raytpu.core.vec3 import Vec3
-        from raytpu.denoise import denoise
+
+        if args.denoise == "learned":
+            from raytpu.denoise.learned import denoise_learned as denoise
+        else:
+            from raytpu.denoise import denoise
 
         image = np.asarray(
             denoise(

@@ -142,8 +142,12 @@ def gather_channels(tables: Sequence[Array], idx: Array) -> list[Array]:
     c = len(tables)
     if n == 0:
         raise ValueError("gather from empty table")
-    if n <= SMALL:
-        # custom VJP only for float tables; int/bool carry no gradient
+    if n <= SMALL and c < 4:
+        # XLA's select-tree take is fastest for a FEW channels, but each
+        # channel is its own ~0.5-2.4ns/ray pass — wide lookups (sphere
+        # winner data, material tables) go through ONE (N, 128)
+        # row-gather below instead (measured ~6ns/ray-bounce off the
+        # mcworld scan path)
         return [
             _take_small(t, idx)
             if jnp.issubdtype(t.dtype, jnp.floating)

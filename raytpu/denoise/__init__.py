@@ -17,3 +17,7 @@ denoised image exactly as the north star requires.
 from raytpu.denoise.bilateral import DenoiseParams, denoise
 
 __all__ = ["DenoiseParams", "denoise"]
+
+# also available (imported lazily by callers to keep flax optional at
+# import time): raytpu.denoise.learned.denoise_learned — the trained
+# kernel-predicting CNN; raytpu.denoise.quality — PSNR/SSIM scoring.

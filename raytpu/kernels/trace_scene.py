@@ -16,11 +16,10 @@ kernel launch per ray tile:
     exist.
   * texturing: nearest-texel fetch (tri_uvmapping, texture.h:44-69)
     computed in-kernel as one-hot MXU contractions against the
-    VMEM-resident atlas — out(ch, 128 rays) = atlas_chunk(ch, 128texels)
-    @ onehot(128texels, 128rays), accumulated over texel chunks. The
-    atlas is pre-split into three bf16-exact components so the
-    single-pass DEFAULT-precision MXU dot reconstructs every texel
-    bit-for-bit (pack_scene; probed in tools/probe_texdot.py).
+    VMEM-resident atlas — out(8ch, 128 rays) = atlas_chunk(8, 128texels)
+    @ onehot(128texels, 128rays), accumulated over texel chunks.
+    One-hot selection in f32 is exact, so texels match jnp.take
+    bit-for-bit (tools/probe_texdot.py).
   * the full bounce-state (origin, direction, throughput, radiance,
     AOVs, alive mask, medium IOR) stays in registers/VMEM across all
     bounces; a bounce whose tile has no live rays is skipped entirely
@@ -63,12 +62,7 @@ ROWS = 8            # rays per grid step = 1024; the triangle loop carries
 MAX_TRIS = 2048     # SMEM budget: 25 ch x 2048 x 4B = 200KB (v5e probe
                     # accepted >= 256KB; spheres/boxes/mats add ~10KB)
 MAX_MATS = 64
-MAX_TEX_CHUNKS = 512  # VMEM atlas cap: 512*24*128*4B = 6MB
-
-# SMEM tri-table rows of the winner's data channels, in the unpack order
-# of the extraction pass: a3 | b3 | c3 | n_raw3 | ua va ub vb uc vc | mat
-_WIN_CHANNELS = (0, 1, 2, 12, 13, 14, 15, 16, 17, 9, 10, 11,
-                 18, 19, 20, 21, 22, 23, 24)
+MAX_TEX_CHUNKS = 512  # VMEM atlas cap: 512*8*128*4B = 2MB
 
 
 def supported(scene: Scene, cfg: RenderConfig) -> bool:
@@ -91,7 +85,7 @@ def _kernel(
     tri_ref,      # SMEM (25, T_pad): a3 ab3 ac3 n3 b3 c3 ua va ub vb uc vc mat
     box_ref,      # SMEM (6, n_chunks): chunk AABB lo3 hi3
     mat_ref,      # SMEM (9, M_pad): em3 estr refl ior alpha_c use_c eft
-    atlas_ref,    # VMEM (n_tex_chunks, 24, 128): bf16-split h/m/l rgba rows
+    atlas_ref,    # VMEM (n_tex_chunks, 8, 128): r g b a 0 0 0 0 x texel
     ox, oy, oz, dx, dy, dz,           # VMEM (ROWS, LANE) ray tiles
     draws_ref,                         # VMEM (BN*3, ROWS, LANE)
     inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
@@ -149,13 +143,13 @@ def _kernel(
             best = jnp.where(better, t, best)
             bidx = jnp.where(better, s, bidx)
 
-        # ---- triangles: chunked-AABB cull, selection-only hot loop ----
-        # Pass 1 carries ONLY (best_t, best_idx) — the winner's 19 data
-        # channels are extracted afterwards in a per-chunk pass gated on
-        # winner presence, so the O(T) hot loop stays ~30 ops/triangle
-        # instead of ~70 (measured 1.5x kernel speedup on mcworld)
+        # ---- triangles: chunked-AABB cull + winner-channel selects ---
+        # carried winner channels: a3 b3 c3 n3 ua va ub vb uc vc mat (19)
+        win = (best, bidx) + tuple([f0] * 19)
+
         def tri_body(t_i, win):
-            best, bidx = win
+            (best, bidx, wax, way, waz, wbx, wby, wbz, wcx, wcy, wcz,
+             wnx, wny, wnz, wua, wva, wub, wvb, wuc, wvc, wmat) = win
             ax, ay, az = tri_ref[0, t_i], tri_ref[1, t_i], tri_ref[2, t_i]
             abx, aby, abz = tri_ref[3, t_i], tri_ref[4, t_i], tri_ref[5, t_i]
             acx, acy, acz = tri_ref[6, t_i], tri_ref[7, t_i], tri_ref[8, t_i]
@@ -177,9 +171,21 @@ def _kernel(
             )
             t = jnp.where(valid, dst, BIG)
             better = t < best
+
+            sel = lambda cand, old: jnp.where(better, cand, old)
             return (
-                jnp.where(better, t, best),
+                sel(t, best),
                 jnp.where(better, n_spheres + t_i, bidx),
+                sel(ax, wax), sel(ay, way), sel(az, waz),
+                sel(tri_ref[12, t_i], wbx), sel(tri_ref[13, t_i], wby),
+                sel(tri_ref[14, t_i], wbz),
+                sel(tri_ref[15, t_i], wcx), sel(tri_ref[16, t_i], wcy),
+                sel(tri_ref[17, t_i], wcz),
+                sel(nx, wnx), sel(ny, wny), sel(nz, wnz),
+                sel(tri_ref[18, t_i], wua), sel(tri_ref[19, t_i], wva),
+                sel(tri_ref[20, t_i], wub), sel(tri_ref[21, t_i], wvb),
+                sel(tri_ref[22, t_i], wuc), sel(tri_ref[23, t_i], wvc),
+                sel(tri_ref[24, t_i], wmat),
             )
 
         inv_dx = 1.0 / rdx
@@ -214,32 +220,9 @@ def _kernel(
 
             return jax.lax.cond(enter, run, lambda w: w, win)
 
-        best, bidx = jax.lax.fori_loop(0, n_chunks, chunk_body, (best, bidx))
-
-        # ---- pass 2: winner-channel extraction, per winner-chunk ------
-        tri_rel = bidx - n_spheres              # >= 0 iff a triangle won
-        win_chunk = jnp.where(tri_rel >= 0, tri_rel // LANE, -1)
-
-        def extract_chunk(c, chans):
-            def body(j, chans):
-                t_i = c * LANE + j
-                m = tri_rel == t_i
-                return tuple(
-                    jnp.where(m, tri_ref[src, t_i], ch)
-                    for src, ch in zip(_WIN_CHANNELS, chans)
-                )
-
-            def run(chans):
-                return jax.lax.fori_loop(0, LANE, body, chans)
-
-            return jax.lax.cond(
-                jnp.any(win_chunk == c), run, lambda x: x, chans
-            )
-
-        chans = tuple([f0] * len(_WIN_CHANNELS))
-        chans = jax.lax.fori_loop(0, n_chunks, extract_chunk, chans)
-        (wax, way, waz, wbx, wby, wbz, wcx, wcy, wcz,
-         wnx, wny, wnz, wua, wva, wub, wvb, wuc, wvc, wmat) = chans
+        win = jax.lax.fori_loop(0, n_chunks, chunk_body, win)
+        (best, bidx, wax, way, waz, wbx, wby, wbz, wcx, wcy, wcz,
+         wnx, wny, wnz, wua, wva, wub, wvb, wuc, wvc, wmat) = win
 
         did_hit = bidx >= 0
         tri_wins = bidx >= n_spheres
@@ -314,7 +297,7 @@ def _kernel(
             def tex_fetch(_):
                 def tex_row(r, _):
                     idx_row = idx_scr[pl.ds(r, 1), :]          # (1, 128)
-                    acc = jnp.zeros((24, LANE), jnp.float32)
+                    acc = jnp.zeros((8, LANE), jnp.float32)
 
                     def tex_chunk(c, acc):
                         rel = idx_row - c * LANE
@@ -326,27 +309,23 @@ def _kernel(
                                 jnp.int32, (LANE, LANE), 0
                             )
                             onehot = (sub == rel).astype(jnp.float32)
-                            # DEFAULT Mosaic matmul rounds f32 operands
-                            # to bf16, so the atlas is pre-split into
-                            # three bf16-exact components (pack_scene);
-                            # one (24,128) single-pass dot fetches all
-                            # of them (vs 6 HIGHEST passes), and the
-                            # h/m/l reconstruction below is exact
+                            # HIGHEST: Mosaic's default matmul rounds f32
+                            # operands to bf16 (2^-8 rel error); the
+                            # multi-pass decomposition is exact for a
+                            # one-hot contraction (tools/probe_texdot.py)
                             return acc + jnp.dot(
                                 atlas_ref[c], onehot,
                                 preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
                             )
 
                         return jax.lax.cond(need, dot, lambda a: a, acc)
 
                     acc = jax.lax.fori_loop(0, n_tex_chunks, tex_chunk, acc)
-                    # exact f32 reconstruction x = (h + m) + l: h+m spans
-                    # <= 18 mantissa bits (exact), and |l - (x-(h+m))| <
-                    # 0.25 ulp(x), so the final add rounds to x itself
-                    for k, out_ref in enumerate((tex_r, tex_g, tex_b, tex_a)):
-                        out_ref[pl.ds(r, 1), :] = (
-                            acc[k : k + 1] + acc[8 + k : 9 + k]
-                        ) + acc[16 + k : 17 + k]
+                    tex_r[pl.ds(r, 1), :] = acc[0:1]
+                    tex_g[pl.ds(r, 1), :] = acc[1:2]
+                    tex_b[pl.ds(r, 1), :] = acc[2:3]
+                    tex_a[pl.ds(r, 1), :] = acc[3:4]
                     return 0
 
                 return jax.lax.fori_loop(0, ROWS, tex_row, 0)
@@ -688,21 +667,13 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
             for c in (scene.atlas.rgb.x, scene.atlas.rgb.y,
                       scene.atlas.rgb.z, scene.atlas.alpha)
         ])                                              # (4, P)
-        # three-way bf16-exact split x = h + m + l: the kernel's one-hot
-        # MXU fetch runs at DEFAULT precision (operands rounded to
-        # bf16), and each component round-trips bf16 exactly, so the
-        # in-kernel reconstruction recovers x bit-for-bit at 1/2 the
-        # passes of Precision.HIGHEST
-        h = chans.astype(jnp.bfloat16).astype(jnp.float32)
-        rem = chans - h
-        m = rem.astype(jnp.bfloat16).astype(jnp.float32)
-        l = (rem - m).astype(jnp.bfloat16).astype(jnp.float32)
-        z = jnp.zeros_like(chans)
-        rows = jnp.concatenate([h, z, m, z, l, z])      # (24, P)
-        atlas = rows.reshape(24, n_tex_chunks, LANE).transpose(1, 0, 2)
+        chans = jnp.concatenate(
+            [chans, jnp.zeros_like(chans)]              # (8, P)
+        )
+        atlas = chans.reshape(8, n_tex_chunks, LANE).transpose(1, 0, 2)
     else:
         n_tex_chunks = 1
-        atlas = jnp.zeros((1, 24, LANE), jnp.float32)
+        atlas = jnp.zeros((1, 8, LANE), jnp.float32)
 
     return sph, tri, boxes, mats, atlas, n_tex_chunks
 

@@ -131,17 +131,23 @@ def triangle_material(
         rgb = Vec3.full(mat_id.shape, 0.784, 0.965, 1.0)
         tex_alpha = jnp.ones(mat_id.shape, jnp.float32)
 
-    emission = table.emission.take(mat_id)
-    if table.emission_from_texture is not None:
-        eft = gather1d(table.emission_from_texture, mat_id)
+    # ONE row-gather for all 8-9 material-table channels (separate
+    # per-channel takes cost ~0.5-2.4ns/ray each on TPU)
+    t_chans = [
+        table.emission.x, table.emission.y, table.emission.z,
+        table.emission_strength, table.reflection, table.ior,
+        table.alpha_const, table.use_alpha_const,
+    ]
+    has_eft = table.emission_from_texture is not None
+    if has_eft:
+        t_chans.append(table.emission_from_texture)
+    g = gather_channels(t_chans, mat_id)
+    emission = Vec3(g[0], g[1], g[2])
+    if has_eft:
         # texture-modulated emission (superset flag; see MatTable)
-        emission = Vec3.where(eft, emission * rgb, emission)
-    emission_strength = gather1d(table.emission_strength, mat_id)
-    reflection = gather1d(table.reflection, mat_id)
-    ior = gather1d(table.ior, mat_id)
-    alpha_const = gather1d(table.alpha_const, mat_id)
-    use_const = gather1d(table.use_alpha_const, mat_id)
-    alpha = jnp.where(use_const, alpha_const, tex_alpha)
+        emission = Vec3.where(g[8], emission * rgb, emission)
+    emission_strength, reflection, ior = g[3], g[4], g[5]
+    alpha = jnp.where(g[7], g[6], tex_alpha)
 
     return Materials(
         diffuse=rgb,
