@@ -130,13 +130,14 @@ def _load_meshes(specs: list[dict], base: str):
     one pass over every mesh's materials so the shared-tile-size rule
     (texture.h:221) applies globally and untextured materials get solid
     Kd tiles at the common size."""
-    from raytpu.io.obj import build_atlas, mesh_to_triangles, parse_mtl, parse_obj
+    from raytpu.io.mesh_formats import parse_mesh
+    from raytpu.io.obj import build_atlas, mesh_to_triangles, parse_mtl
 
     tri_parts, table_parts = [], []
     paths, colors, alphas = [], [], []
     offset = 0
     for m in specs:
-        mesh = parse_obj(os.path.join(base, m["obj"]))
+        mesh = parse_mesh(os.path.join(base, m["obj"]))
         tris = mesh_to_triangles(
             mesh, tuple(m.get("translate", (0.0, 0.0, 0.0)))
         )
@@ -209,16 +210,14 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
         # one (W, H) (texture.h:221)
         triangles, atlas, mat_table = _load_meshes(spec["meshes"], base)
     elif "mesh" in spec:
-        from raytpu.io.obj import (
-            build_atlas,
-            mesh_to_triangles,
-            parse_mtl,
-            parse_obj,
-        )
+        from raytpu.io.mesh_formats import parse_mesh
+        from raytpu.io.obj import build_atlas, mesh_to_triangles, parse_mtl
 
         m = spec["mesh"]
+        # extension-routed: .obj (reference format), .ply, .stl — the
+        # CUDA fork's assimp import surface (triangle.hu:61-167)
         obj_path = os.path.join(base, m["obj"])
-        mesh = parse_obj(obj_path)
+        mesh = parse_mesh(obj_path)
         triangles = mesh_to_triangles(
             mesh, tuple(m.get("translate", (0.0, 0.0, 0.0)))
         )
