@@ -142,12 +142,13 @@ def gather_channels(tables: Sequence[Array], idx: Array) -> list[Array]:
     c = len(tables)
     if n == 0:
         raise ValueError("gather from empty table")
-    if n <= SMALL and c < 4:
-        # XLA's select-tree take is fastest for a FEW channels, but each
-        # channel is its own ~0.5-2.4ns/ray pass — wide lookups (sphere
-        # winner data, material tables) go through ONE (N, 128)
-        # row-gather below instead (measured ~6ns/ray-bounce off the
-        # mcworld scan path)
+    if n <= SMALL:
+        # XLA's select-tree take path. NOTE (measured, round 2): routing
+        # wide small-table lookups through one (N,128) row-gather looks
+        # 10ns/ray FASTER in an isolated closest_hit microbenchmark but
+        # is 15ns/ray SLOWER inside the real bounce/sample scans
+        # (mcworld end-to-end 36 -> 51 ns/ray) — tiny-N row-gathers
+        # defeat XLA's in-loop pipelining. Keep per-channel takes.
         return [
             _take_small(t, idx)
             if jnp.issubdtype(t.dtype, jnp.floating)

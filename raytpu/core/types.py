@@ -297,8 +297,11 @@ class RenderConfig:
     sample_chunk: int = 1            # samples traced per scan step
     # kernel selection: fused Pallas closest-hit (kernels/intersect.py)
     # vs the XLA distance-matrix path; pallas_interpret runs the kernel
-    # in interpreter mode (CPU testing)
-    use_pallas: bool = False
+    # in interpreter mode (CPU testing). None = auto: enabled on TPU
+    # backends for scenes with >= 128 triangles (measured: mcworld
+    # 36 -> 31 ns/ray-bounce; tiny meshes lose to kernel overhead).
+    # Selection is bit-identical either way (tests/test_pallas.py).
+    use_pallas: "bool | None" = None
     pallas_interpret: bool = False
     # full-bounce-loop Pallas megakernel (kernels/trace_spheres.py);
     # used when the scene qualifies (sphere-only, no AO), forward pass

@@ -35,6 +35,20 @@ from raytpu.geometry.triangle import (
 from raytpu.materials.texture import sky_emission, triangle_material
 
 
+def _resolve_use_pallas(scene: Scene, cfg: RenderConfig) -> bool:
+    """cfg.use_pallas None = auto: the fused selection kernel wins for
+    big triangle counts on real TPU backends (mcworld 36 -> 31
+    ns/ray-bounce) and loses to its launch overhead on tiny meshes
+    (pyramide 9.4 -> 10.7); CPU backends can only run it in interpreter
+    mode, which is opt-in via explicit flags."""
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    return (
+        scene.triangles.count >= 128
+        and jax.default_backend() != "cpu"
+    )
+
+
 class Hit(NamedTuple):
     did_hit: Array   # (B,) bool
     dst: Array       # (B,) distance (inf on miss)
@@ -70,9 +84,10 @@ def closest_hit(
     if n_tris > 0 and geom is None:
         geom = precompute(scene.triangles)
 
-    if cfg.use_pallas:
+    use_pallas = _resolve_use_pallas(scene, cfg)
+    if use_pallas:
         from raytpu.kernels.intersect import pallas_select, pallas_supported
-    if cfg.use_pallas and pallas_supported(scene):
+    if use_pallas and pallas_supported(scene):
         # fused VMEM-resident selection (raytpu.kernels.intersect)
         best_t, best_idx = pallas_select(
             jax.tree.map(sg, scene), jax.tree.map(sg, geom), o_sg, d_sg,
@@ -236,7 +251,7 @@ def any_hit(
     if scene.triangles.count > 0 and geom is None:
         geom = precompute(scene.triangles)
 
-    if cfg.use_pallas:
+    if _resolve_use_pallas(scene, cfg):
         from raytpu.kernels.intersect import pallas_select, pallas_supported
 
         if pallas_supported(scene):

@@ -62,12 +62,21 @@ ROWS = 8            # rays per grid step = 1024; the triangle loop carries
 MAX_TRIS = 2048     # SMEM budget: 25 ch x 2048 x 4B = 200KB (v5e probe
                     # accepted >= 256KB; spheres/boxes/mats add ~10KB)
 MAX_MATS = 64
-MAX_TEX_CHUNKS = 512  # VMEM atlas cap: 512*8*128*4B = 2MB
+MAX_TEX_CHUNKS = 4    # dispatch policy (see supported()); VMEM is not
+                      # the binding constraint
 
 
 def supported(scene: Scene, cfg: RenderConfig) -> bool:
     """Mesh-megakernel eligibility; render() falls back to the scan path
-    (or the sphere megakernel) otherwise."""
+    (or the sphere megakernel) otherwise.
+
+    The texel-chunk bound is a measured dispatch policy, not a hardware
+    limit: the in-kernel one-hot MXU fetch costs ~250ns per (ray-row,
+    chunk) hit, so many-chunk atlases (mcworld: 22) run faster on the
+    scan path's XLA row-gather (31 vs 52 ns/ray-bounce end-to-end at
+    320x240x32spp), while few-chunk scenes (pyramide: 2, tree: 1,
+    untextured) win in-kernel and keep the whole-bounce dead-tile skip.
+    """
     n_tex = scene.atlas.alpha.shape[0]
     return (
         scene.triangles.count > 0

@@ -129,13 +129,36 @@ def test_pyramide_water_matches_scan():
 
 
 @pytest.mark.slow
-def test_mcworld_matches_scan():
+def test_mcworld_kernel_matches_scan_trace():
     """BASELINE config 5's scene: 606 triangles across 5 AABB chunks, 11
     materials, water refraction — exercises the chunk cull and the
-    multi-chunk one-hot texture fetch."""
+    multi-chunk one-hot texture fetch. The dispatch POLICY routes this
+    scene to the scan path (22 texel chunks > MAX_TEX_CHUNKS, measured
+    slower in-kernel), so the kernel is compared directly here to keep
+    the multi-chunk code path correctness-covered."""
+    from raytpu.core import rng
+    from raytpu.integrator.path import n_bounce_draws, trace
+    from raytpu.integrator.render import sample_rays
+    from raytpu.kernels.trace_scene import trace_mesh_megakernel
+
     scene, cam, _ = load_scene("scenes/mcworld_water.toml")
-    cfg = RenderConfig(width=10, height=6, spp=2, max_bounces=4)
-    _compare(scene, cam, cfg, jax.random.PRNGKey(53))
+    cfg = RenderConfig(width=10, height=6, spp=1, max_bounces=4)
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    pix_keys = rng.pixel_keys(jax.random.PRNGKey(53), pids)
+    ray_keys = rng.sample_keys(pix_keys, jnp.int32(0))
+    cam_draws, bounce_draws = rng.ray_uniforms(
+        ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
+    )
+    origin, direction = sample_rays(cam, cfg, pids, cam_draws)
+    a = trace(scene, cfg, origin, direction, bounce_draws)
+    b = trace_mesh_megakernel(
+        scene, cfg, origin, direction, bounce_draws, interpret=True
+    )
+    for want, got, name in zip(a, b, ("radiance", "albedo", "normal")):
+        x = np.stack(list(want), -1)
+        y = np.stack(list(got), -1)
+        bad = (np.abs(x - y) > 1e-4 + 1e-5 * np.abs(x)).any(axis=-1)
+        assert bad.mean() <= 0.02, f"{name}: {bad.mean():.2%}"
 
 
 def test_untextured_mesh_matches_scan():
@@ -166,6 +189,9 @@ def test_dispatch_and_fallbacks():
 
     big_tex, _, _ = load_scene("scenes/grass_block.toml")
     assert not supported(big_tex, cfg)
+    # many-chunk atlases route to the scan path by policy (see supported)
+    mc, _, _ = load_scene("scenes/mcworld_water.toml")
+    assert not supported(mc, cfg)
 
     # AO mesh render still works via the scan fallback
     cfg2 = RenderConfig(
