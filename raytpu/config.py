@@ -258,6 +258,14 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
                 reflection=jnp.asarray(refl, jnp.float32)
             )
 
+    if triangles.count > 1 and bool(spec.get("morton", True)):
+        # Morton-order triangles for chunk-cull locality (see
+        # raytpu/geometry/morton.py; output-identical, disable with a
+        # top-level `morton = false` in the spec)
+        from raytpu.geometry.morton import morton_order
+
+        triangles = morton_order(triangles)
+
     sky = SkyTexture.empty()
     sky_index = -1
     if "sky" in spec:
