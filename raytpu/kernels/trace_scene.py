@@ -15,11 +15,18 @@ kernel launch per ray tile:
     ``better`` selects — the distance matrix and the winner gather never
     exist.
   * texturing: nearest-texel fetch (tri_uvmapping, texture.h:44-69)
-    computed in-kernel as one-hot MXU contractions against the
-    VMEM-resident atlas — out(8ch, 128 rays) = atlas_chunk(8, 128texels)
-    @ onehot(128texels, 128rays), accumulated over texel chunks.
-    One-hot selection in f32 is exact, so texels match jnp.take
-    bit-for-bit (tools/probe_texdot.py).
+    computed in-kernel over the texture-ROW space: rays relay to the
+    lane dim (1, ROWS*128) and ONE unconditional HIGHEST-precision MXU
+    contraction out(4*atlas_w, rays) = A(4*atlas_w, texrows) @
+    onehot(texrows, rays) pulls every x-position of each ray's winner
+    row (texrow = tex_y + atlas_h * mat); a sublane mask-reduce
+    (iota % atlas_w == tex_x) then picks the texel. Both steps are
+    exact in f32 (single nonzero term per output; the reduce adds one
+    texel to exact zeros), so texels match jnp.take bit-for-bit.
+    Measured (tools/probe_texrow.py, mcworld shape): 1.3 ns/ray vs 48
+    for the per-texel-chunk scheme this replaces — the fetch no longer
+    dominates, so many-chunk scenes (mcworld: 22 chunks) now run
+    in-kernel instead of falling back to the scan path.
   * the full bounce-state (origin, direction, throughput, radiance,
     AOVs, alive mask, medium IOR) stays in registers/VMEM across all
     bounces; a bounce whose tile has no live rays is skipped entirely
@@ -56,28 +63,48 @@ from raytpu.core.vec3 import Vec3
 from raytpu.geometry.triangle import TriangleGeom, precompute
 from raytpu.kernels._common import BIG, LANE, pad_prims, pad_rows
 
-ROWS = 8            # rays per grid step = 1024; the triangle loop carries
-                    # ~21 winner planes, so smaller tiles than the sphere
-                    # kernel keep register spills in check
+import os as _os
+
+ROWS = int(_os.environ.get("RAYTPU_MK_ROWS", "8"))
+                    # rays per grid step = ROWS*128; the hot loop carries
+                    # only (best_t, best_idx) since the one-hot winner
+                    # extraction landed, so larger tiles are feasible
+# timing-only ablation knobs (comma list: ext,tex,tri,shade) — output is
+# WRONG with any set; used by tools/bench_mesh_kernel.py bisection
+_ABLATE = set(
+    s for s in _os.environ.get("RAYTPU_MK_ABLATE", "").split(",") if s
+)
 MAX_TRIS = 2048     # SMEM budget: 25 ch x 2048 x 4B = 200KB (v5e probe
                     # accepted >= 256KB; spheres/boxes/mats add ~10KB)
 MAX_MATS = 64
-MAX_TEX_CHUNKS = 4    # dispatch policy (see supported()); VMEM is not
-                      # the binding constraint
+_NO_CULL = bool(int(_os.environ.get("RAYTPU_MK_NO_CULL", "0")))  # probe knob
+CULL_CHUNK = int(_os.environ.get("RAYTPU_MK_CULL_CHUNK", "32"))
+                    # triangles per cull AABB: finer boxes exploit the
+                    # Morton ordering (geometry/morton.py) — a skipped
+                    # chunk saves ~40*CULL_CHUNK vector ops for ~25
+EXT_CHUNK = 256     # winner-extraction one-hot tile (lane dim of the
+                    # VMEM tri table consumed per MXU contraction step)
+# texture-row fetch bounds: the A operand is (4*atlas_w, texrows) f32 in
+# VMEM and the per-bounce onehot materializes (texrows_pad, 1024) f32, so
+# cap both dims (mcworld: 64 x 256 = 64KB; grass_block's 1440x1920 PNG
+# would need 5760 sublanes -> scan path, whose XLA row-gather handles
+# big atlases fine)
+MAX_TEX_W4 = 256
+MAX_TEX_ROWS = 512
 
 
 def supported(scene: Scene, cfg: RenderConfig) -> bool:
     """Mesh-megakernel eligibility; render() falls back to the scan path
     (or the sphere megakernel) otherwise.
 
-    The texel-chunk bound is a measured dispatch policy, not a hardware
-    limit: the in-kernel one-hot MXU fetch costs ~250ns per (ray-row,
-    chunk) hit, so many-chunk atlases (mcworld: 22) run faster on the
-    scan path's XLA row-gather (31 vs 52 ns/ray-bounce end-to-end at
-    320x240x32spp), while few-chunk scenes (pyramide: 2, tree: 1,
-    untextured) win in-kernel and keep the whole-bounce dead-tile skip.
+    Texture bound: the texture-row one-hot fetch (module docstring)
+    needs 4*atlas_w MXU output rows and a (texrows, rays) onehot in
+    VMEM; scenes over the caps (big single PNGs like grass_block) run
+    the scan path. All-16x16-tile scenes (mcworld, caverne, pyramide)
+    and untextured meshes stay in-kernel.
     """
     n_tex = scene.atlas.alpha.shape[0]
+    w = max(scene.atlas.width, 1)
     return (
         scene.triangles.count > 0
         and scene.triangles.count <= MAX_TRIS
@@ -85,22 +112,23 @@ def supported(scene: Scene, cfg: RenderConfig) -> bool:
         and scene.sky_sphere_index < 0
         and not cfg.use_ao
         and scene.mat_table.emission_strength.shape[0] <= MAX_MATS
-        and -(-n_tex // LANE) <= MAX_TEX_CHUNKS
+        and 4 * w <= MAX_TEX_W4
+        and -(-n_tex // w) <= MAX_TEX_ROWS
     )
 
 
 def _kernel(
     sph_ref,      # SMEM (14, S_pad): cx cy cz r | dif3 emi3 estr refl alpha ior
     tri_ref,      # SMEM (25, T_pad): a3 ab3 ac3 n3 b3 c3 ua va ub vb uc vc mat
-    box_ref,      # SMEM (6, n_chunks): chunk AABB lo3 hi3
+    trivm_ref,    # VMEM (32, T_pad): same rows (25..31 zero) for the
+                  # winner-extraction MXU dot
+    box_ref,      # SMEM (6, n_chunks): per-CULL_CHUNK AABB lo3 hi3
     mat_ref,      # SMEM (9, M_pad): em3 estr refl ior alpha_c use_c eft
-    atlas_ref,    # VMEM (n_tex_chunks, 8, 128): r g b a 0 0 0 0 x texel
+    atlas_ref,    # VMEM (w4_pad, r_pad): A[ch*atlas_w + x, tex_y + h*mat]
     ox, oy, oz, dx, dy, dz,           # VMEM (ROWS, LANE) ray tiles
     draws_ref,                         # VMEM (BN*3, ROWS, LANE)
     inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
-    idx_scr,                           # scratch VMEM (ROWS, LANE) i32
-    tex_r, tex_g, tex_b, tex_a,        # scratch VMEM (ROWS, LANE) f32
-    *, n_spheres, n_tris, n_mats, n_tex_chunks, has_atlas, atlas_w,
+    *, n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s,
 ):
@@ -152,13 +180,14 @@ def _kernel(
             best = jnp.where(better, t, best)
             bidx = jnp.where(better, s, bidx)
 
-        # ---- triangles: chunked-AABB cull + winner-channel selects ---
-        # carried winner channels: a3 b3 c3 n3 ua va ub vb uc vc mat (19)
-        win = (best, bidx) + tuple([f0] * 19)
+        # ---- triangles: chunked-AABB cull, (best, idx)-only carry ----
+        # the hot loop carries ONLY the running winner (t, index); the
+        # winner's 19 data channels are extracted after the loop by a
+        # one-hot MXU contraction against the VMEM tri table (below) —
+        # ~40 ops/triangle instead of ~60+19 selects
 
         def tri_body(t_i, win):
-            (best, bidx, wax, way, waz, wbx, wby, wbz, wcx, wcy, wcz,
-             wnx, wny, wnz, wua, wva, wub, wvb, wuc, wvc, wmat) = win
+            best, bidx = win
             ax, ay, az = tri_ref[0, t_i], tri_ref[1, t_i], tri_ref[2, t_i]
             abx, aby, abz = tri_ref[3, t_i], tri_ref[4, t_i], tri_ref[5, t_i]
             acx, acy, acz = tri_ref[6, t_i], tri_ref[7, t_i], tri_ref[8, t_i]
@@ -180,21 +209,9 @@ def _kernel(
             )
             t = jnp.where(valid, dst, BIG)
             better = t < best
-
-            sel = lambda cand, old: jnp.where(better, cand, old)
             return (
-                sel(t, best),
+                jnp.where(better, t, best),
                 jnp.where(better, n_spheres + t_i, bidx),
-                sel(ax, wax), sel(ay, way), sel(az, waz),
-                sel(tri_ref[12, t_i], wbx), sel(tri_ref[13, t_i], wby),
-                sel(tri_ref[14, t_i], wbz),
-                sel(tri_ref[15, t_i], wcx), sel(tri_ref[16, t_i], wcy),
-                sel(tri_ref[17, t_i], wcz),
-                sel(nx, wnx), sel(ny, wny), sel(nz, wnz),
-                sel(tri_ref[18, t_i], wua), sel(tri_ref[19, t_i], wva),
-                sel(tri_ref[20, t_i], wub), sel(tri_ref[21, t_i], wvb),
-                sel(tri_ref[22, t_i], wuc), sel(tri_ref[23, t_i], wvc),
-                sel(tri_ref[24, t_i], wmat),
             )
 
         inv_dx = 1.0 / rdx
@@ -218,20 +235,68 @@ def _kernel(
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.maximum(t0z, t1z),
             )
-            # only live rays can keep a chunk's triangle loop alive
-            enter = jnp.any((tmax >= tmin) & (tmax >= 0.0) & active)
+            # only live rays can keep a chunk's triangle loop alive, and
+            # only if the chunk could still IMPROVE a winner: any hit in
+            # the box has t >= tmin (the hit point lies inside the box),
+            # and `better` needs t < best, so tmin >= best prunes safely
+            best, _ = win
+            enter = jnp.any(
+                (tmax >= tmin) & (tmax >= 0.0) & active & (tmin < best)
+            )
+            if _NO_CULL:
+                enter = jnp.any(active)
 
             def run(win):
                 def body(j, win):
-                    return tri_body(c * LANE + j, win)
+                    return tri_body(c * CULL_CHUNK + j, win)
 
-                return jax.lax.fori_loop(0, LANE, body, win)
+                return jax.lax.fori_loop(0, CULL_CHUNK, body, win)
 
             return jax.lax.cond(enter, run, lambda w: w, win)
 
-        win = jax.lax.fori_loop(0, n_chunks, chunk_body, win)
-        (best, bidx, wax, way, waz, wbx, wby, wbz, wcx, wcy, wcz,
-         wnx, wny, wnz, wua, wva, wub, wvb, wuc, wvc, wmat) = win
+        if "tri" not in _ABLATE:
+            best, bidx = jax.lax.fori_loop(
+                0, n_chunks, chunk_body, (best, bidx)
+            )
+
+        # ---- winner extraction: one-hot MXU dot on the VMEM tri table.
+        # Exact: single nonzero term per output, accumulated against
+        # exact zeros (same argument as the texture fetch). Lanes whose
+        # winner is a sphere (or a miss) extract all-zero channels; every
+        # downstream use is gated on tri_wins.
+        n = ROWS * LANE
+        t_pad = trivm_ref.shape[1]
+        sel_flat = jnp.where(
+            bidx >= n_spheres, bidx - n_spheres, -1
+        ).reshape(1, n)
+
+        # unconditional: a taken Mosaic cond costs ~540 ns (pipeline
+        # refill, tools/probe_cond.py) and mesh tiles almost always have
+        # a triangle winner, so a "skip if no winner" branch would cost
+        # more than the ~0.8 us dot it guards
+        acc0 = jnp.zeros((trivm_ref.shape[0], n), jnp.float32)
+
+        def ext_chunk(c, acc):
+            sub = jax.lax.broadcasted_iota(jnp.int32, (EXT_CHUNK, n), 0)
+            onehot = (sub == sel_flat - c * EXT_CHUNK).astype(jnp.float32)
+            return acc + jnp.dot(
+                trivm_ref[:, pl.ds(c * EXT_CHUNK, EXT_CHUNK)], onehot,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        if "ext" in _ABLATE:
+            wout = acc0
+        else:
+            wout = jax.lax.fori_loop(0, t_pad // EXT_CHUNK, ext_chunk, acc0)
+        row = lambda j: wout[j : j + 1].reshape(ROWS, LANE)
+        wax, way, waz = row(0), row(1), row(2)
+        wnx, wny, wnz = row(9), row(10), row(11)
+        wbx, wby, wbz = row(12), row(13), row(14)
+        wcx, wcy, wcz = row(15), row(16), row(17)
+        wua, wva, wub = row(18), row(19), row(20)
+        wvb, wuc, wvc = row(21), row(22), row(23)
+        wmat = row(24)
 
         did_hit = bidx >= 0
         tri_wins = bidx >= n_spheres
@@ -289,10 +354,11 @@ def _kernel(
         vv = wrap(w_a * wva + w_b * wvb + w_c * wvc)
 
         if has_atlas:
-            # nearest-texel index (texture.h:61-69); one-hot MXU fetch.
-            # Lanes with no live triangle hit get index -1: they match no
-            # chunk, so the per-(row, chunk) `need` skip sees only real
-            # demand (a fully sphere/miss/dead tile costs ROWS any-reduces)
+            # nearest-texel index (texture.h:61-69); texture-row one-hot
+            # MXU fetch over the whole tile at once (module docstring;
+            # measured in tools/probe_texrow.py). Lanes with no live
+            # triangle hit get texrow -1: they match no row, so their
+            # rgba comes out exactly 0.
             tex_x = jnp.clip(
                 jnp.floor(uu * atlas_w).astype(jnp.int32), 0, atlas_w - 1
             )
@@ -300,58 +366,42 @@ def _kernel(
                 jnp.floor(vv * atlas_h).astype(jnp.int32), 0, atlas_h - 1
             )
             mat_i = wmat.astype(jnp.int32)
-            texel = (tex_y * atlas_w + tex_x) + (atlas_h * atlas_w) * mat_i
-            idx_scr[:] = jnp.where(active & tri_wins, texel, -1)
+            n = ROWS * LANE
+            texrow = jnp.where(
+                active & tri_wins, tex_y + atlas_h * mat_i, -1
+            ).reshape(1, n)
+            flat_x = tex_x.reshape(1, n)
+            r_pad = atlas_ref.shape[1]
+            w4 = atlas_ref.shape[0]
 
             def tex_fetch(_):
-                def tex_row(r, _):
-                    idx_row = idx_scr[pl.ds(r, 1), :]          # (1, 128)
-                    acc = jnp.zeros((8, LANE), jnp.float32)
+                sub = jax.lax.broadcasted_iota(jnp.int32, (r_pad, n), 0)
+                onehot = (sub == texrow).astype(jnp.float32)
+                # HIGHEST: Mosaic's default matmul rounds f32 operands to
+                # bf16 (2^-8 rel error); the multi-pass decomposition is
+                # exact for a one-hot contraction
+                out = jnp.dot(
+                    atlas_ref[:, :], onehot,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                       # (w4, n)
+                xsub = jax.lax.broadcasted_iota(jnp.int32, (w4, n), 0)
+                mask = (xsub % atlas_w == flat_x).astype(jnp.float32)
+                prod = out * mask
+                chans = []
+                for c in range(4):                      # r g b a
+                    a = prod[c * atlas_w : c * atlas_w + 1]
+                    for k in range(1, atlas_w):
+                        a = a + prod[c * atlas_w + k : c * atlas_w + k + 1]
+                    chans.append(a.reshape(ROWS, LANE))
+                return tuple(chans)
 
-                    def tex_chunk(c, acc):
-                        rel = idx_row - c * LANE
-                        # skip chunks no ray in this row addresses
-                        need = jnp.any((rel >= 0) & (rel < LANE))
-
-                        def dot(acc):
-                            sub = jax.lax.broadcasted_iota(
-                                jnp.int32, (LANE, LANE), 0
-                            )
-                            onehot = (sub == rel).astype(jnp.float32)
-                            # HIGHEST: Mosaic's default matmul rounds f32
-                            # operands to bf16 (2^-8 rel error); the
-                            # multi-pass decomposition is exact for a
-                            # one-hot contraction (tools/probe_texdot.py)
-                            return acc + jnp.dot(
-                                atlas_ref[c], onehot,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST,
-                            )
-
-                        return jax.lax.cond(need, dot, lambda a: a, acc)
-
-                    acc = jax.lax.fori_loop(0, n_tex_chunks, tex_chunk, acc)
-                    tex_r[pl.ds(r, 1), :] = acc[0:1]
-                    tex_g[pl.ds(r, 1), :] = acc[1:2]
-                    tex_b[pl.ds(r, 1), :] = acc[2:3]
-                    tex_a[pl.ds(r, 1), :] = acc[3:4]
-                    return 0
-
-                return jax.lax.fori_loop(0, ROWS, tex_row, 0)
-
-            def tex_clear(_):
-                tex_r[:] = f0
-                tex_g[:] = f0
-                tex_b[:] = f0
-                tex_a[:] = f0
-                return 0
-
-            # skip the whole fetch when the tile has no live triangle hit
-            jax.lax.cond(
-                jnp.any(idx_scr[:] >= 0), tex_fetch, tex_clear, 0
-            )
-            trgb_x, trgb_y, trgb_z = tex_r[:], tex_g[:], tex_b[:]
-            t_alpha_tex = tex_a[:]
+            # unconditional for the same reason as the winner extraction:
+            # the skip branch would cost more than the fetch
+            if "tex" in _ABLATE:
+                trgb_x, trgb_y, trgb_z, t_alpha_tex = f0, f0, f0, f1
+            else:
+                trgb_x, trgb_y, trgb_z, t_alpha_tex = tex_fetch(0)
         else:
             # untextured mesh: constant default material (mesh.h:207)
             trgb_x = jnp.full(ox.shape, 0.784, jnp.float32)
@@ -543,15 +593,15 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_spheres", "n_tris", "n_mats", "n_tex_chunks", "has_atlas",
+        "n_spheres", "n_tris", "n_mats", "has_atlas",
         "atlas_w", "atlas_h", "bounces", "sphere_eps", "det_eps",
         "tri_eps", "alpha_lo", "alpha_hi", "bright_boost",
         "bright_threshold", "n_draws", "hsl_l", "hsl_s", "interpret",
     ),
 )
 def _trace_call(
-    sph, tri, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws,
-    *, n_spheres, n_tris, n_mats, n_tex_chunks, has_atlas, atlas_w,
+    sph, tri, trivm, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws,
+    *, n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, interpret,
 ):
@@ -565,13 +615,16 @@ def _trace_call(
         memory_space=pltpu.VMEM,
     )
     atlas_spec = pl.BlockSpec(
-        atlas.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        atlas.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    trivm_spec = pl.BlockSpec(
+        trivm.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _kernel,
         n_spheres=n_spheres, n_tris=n_tris, n_mats=n_mats,
-        n_tex_chunks=n_tex_chunks, has_atlas=has_atlas,
+        has_atlas=has_atlas,
         atlas_w=atlas_w, atlas_h=atlas_h, bounces=bounces,
         sphere_eps=sphere_eps, det_eps=det_eps, tri_eps=tri_eps,
         alpha_lo=alpha_lo, alpha_hi=alpha_hi, bright_boost=bright_boost,
@@ -581,15 +634,13 @@ def _trace_call(
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem, smem, smem, smem, atlas_spec]
+        in_specs=[smem, smem, trivm_spec, smem, smem, atlas_spec]
         + [ray_spec] * 6
         + [draws_spec],
         out_specs=[ray_spec] * 9,
         out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 9,
-        scratch_shapes=[pltpu.VMEM((ROWS, LANE), jnp.int32)]
-        + [pltpu.VMEM((ROWS, LANE), jnp.float32)] * 4,
         interpret=interpret,
-    )(sph, tri, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws)
+    )(sph, tri, trivm, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws)
 
 
 def pack_scene(scene: Scene, geom: TriangleGeom):
@@ -609,7 +660,7 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
         s_pad,
     )
 
-    t_pad = max(-(-n_t // LANE) * LANE, LANE)
+    t_pad = max(-(-n_t // EXT_CHUNK) * EXT_CHUNK, EXT_CHUNK)
     tris = scene.triangles
     tri = pad_prims(
         [
@@ -624,10 +675,14 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
         ],
         t_pad,
     )
+    # VMEM copy for the winner-extraction MXU dot (25 -> 32 sublanes)
+    trivm = jnp.pad(tri, ((0, 32 - tri.shape[0]), (0, 0)))
 
-    # per-128-chunk AABBs (as kernels/intersect.py, incl. the 1-ulp
-    # conservative inflation for the recomputed b/c vertices)
-    n_chunks = t_pad // LANE
+    # per-CULL_CHUNK AABBs (as kernels/intersect.py, incl. the 1-ulp
+    # conservative inflation for the recomputed b/c vertices); only
+    # chunks containing real triangles get a box — the kernel's chunk
+    # loop is bounded by the box count, so pad slots are never scanned
+    n_chunks = -(-n_t // CULL_CHUNK)
     vb = geom.a + geom.edge_ab
     vc = geom.a + geom.edge_ac
     lo, hi = [], []
@@ -636,14 +691,14 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
         [geom.a.z, vb.z, vc.z],
     ):
         stack = jnp.stack(parts)                       # (3, T)
-        pad = t_pad - n_t
+        pad = n_chunks * CULL_CHUNK - n_t
         lo.append(jnp.min(
             jnp.pad(stack, ((0, 0), (0, pad)), constant_values=jnp.inf)
-            .reshape(3, n_chunks, LANE), axis=(0, 2),
+            .reshape(3, n_chunks, CULL_CHUNK), axis=(0, 2),
         ))
         hi.append(jnp.max(
             jnp.pad(stack, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-            .reshape(3, n_chunks, LANE), axis=(0, 2),
+            .reshape(3, n_chunks, CULL_CHUNK), axis=(0, 2),
         ))
     boxes = jnp.stack(lo + hi)
     eps = 1e-5 * (jnp.abs(boxes) + 1.0)
@@ -667,24 +722,25 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
         m_pad,
     )
 
+    # texture-row fetch operand: A[ch*atlas_w + x, texrow] = texel value,
+    # texrow = tex_y + atlas_h*mat (so texel = texrow*atlas_w + tex_x)
     n_tex = scene.atlas.alpha.shape[0]
     if n_tex > 0:
-        n_tex_chunks = -(-n_tex // LANE)
-        p = n_tex_chunks * LANE - n_tex
-        chans = jnp.stack([
-            jnp.pad(c, (0, p))
-            for c in (scene.atlas.rgb.x, scene.atlas.rgb.y,
-                      scene.atlas.rgb.z, scene.atlas.alpha)
-        ])                                              # (4, P)
-        chans = jnp.concatenate(
-            [chans, jnp.zeros_like(chans)]              # (8, P)
-        )
-        atlas = chans.reshape(8, n_tex_chunks, LANE).transpose(1, 0, 2)
+        w = scene.atlas.width
+        n_rows = n_tex // w
+        r_pad = max(-(-n_rows // LANE) * LANE, LANE)
+        w4_pad = -(-4 * w // 8) * 8
+        a = jnp.zeros((w4_pad, r_pad), jnp.float32)
+        for ch, chan in enumerate((scene.atlas.rgb.x, scene.atlas.rgb.y,
+                                   scene.atlas.rgb.z, scene.atlas.alpha)):
+            a = a.at[ch * w : (ch + 1) * w, :n_rows].set(
+                chan.reshape(n_rows, w).T
+            )
+        atlas = a
     else:
-        n_tex_chunks = 1
-        atlas = jnp.zeros((1, 8, LANE), jnp.float32)
+        atlas = jnp.zeros((8, LANE), jnp.float32)
 
-    return sph, tri, boxes, mats, atlas, n_tex_chunks
+    return sph, tri, trivm, boxes, mats, atlas
 
 
 def trace_mesh_megakernel(
@@ -701,7 +757,7 @@ def trace_mesh_megakernel(
     rows = -(-rows // ROWS) * ROWS
 
     geom = precompute(scene.triangles)
-    sph, tri, boxes, mats, atlas, n_tex_chunks = pack_scene(scene, geom)
+    sph, tri, trivm, boxes, mats, atlas = pack_scene(scene, geom)
 
     ox, oy, oz = (pad_rows(c, rows) for c in origin)
     dx, dy, dz = (pad_rows(c, rows) for c in direction)
@@ -714,10 +770,10 @@ def trace_mesh_megakernel(
 
     has_atlas = scene.atlas.alpha.shape[0] > 0
     out = _trace_call(
-        sph, tri, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws,
+        sph, tri, trivm, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
         n_mats=scene.mat_table.emission_strength.shape[0],
-        n_tex_chunks=n_tex_chunks, has_atlas=has_atlas,
+        has_atlas=has_atlas,
         atlas_w=scene.atlas.width, atlas_h=scene.atlas.height,
         bounces=cfg.max_bounces, sphere_eps=cfg.sphere_eps,
         det_eps=cfg.tri_det_eps, tri_eps=cfg.tri_eps,

@@ -132,10 +132,8 @@ def test_pyramide_water_matches_scan():
 def test_mcworld_kernel_matches_scan_trace():
     """BASELINE config 5's scene: 606 triangles across 5 AABB chunks, 11
     materials, water refraction — exercises the chunk cull and the
-    multi-chunk one-hot texture fetch. The dispatch POLICY routes this
-    scene to the scan path (22 texel chunks > MAX_TEX_CHUNKS, measured
-    slower in-kernel), so the kernel is compared directly here to keep
-    the multi-chunk code path correctness-covered."""
+    176-texture-row one-hot fetch (the largest texrow space in the
+    corpus). Compared directly against the scan trace."""
     from raytpu.core import rng
     from raytpu.integrator.path import n_bounce_draws, trace
     from raytpu.integrator.render import sample_rays
@@ -189,9 +187,10 @@ def test_dispatch_and_fallbacks():
 
     big_tex, _, _ = load_scene("scenes/grass_block.toml")
     assert not supported(big_tex, cfg)
-    # many-chunk atlases route to the scan path by policy (see supported)
+    # many-tile atlases fit the texture-row fetch bounds (mcworld: 176
+    # texrows, 64 A-operand sublanes) and run in-kernel since round 2
     mc, _, _ = load_scene("scenes/mcworld_water.toml")
-    assert not supported(mc, cfg)
+    assert supported(mc, cfg)
 
     # AO mesh render still works via the scan fallback
     cfg2 = RenderConfig(

@@ -45,9 +45,11 @@ def test_two_meshes_concatenate(tmp_path):
     scene, cam, cfg = load_scene_file(str(spec))
 
     # 6 textured + 6 Kd-colored triangles, with offset material slots
+    # (Morton ordering at load interleaves the two meshes' triangles, so
+    # assert per-slot counts rather than load order)
     assert scene.triangles.count == 12
     ids = np.asarray(scene.triangles.mat_id)
-    assert set(ids[:6]) == {0} and set(ids[6:]) == {1}
+    assert (ids == 0).sum() == 6 and (ids == 1).sum() == 6
     assert scene.atlas.count == 2
     # second mesh's slot is a solid tile of its MTL Kd color
     h, w = scene.atlas.height, scene.atlas.width
@@ -57,8 +59,9 @@ def test_two_meshes_concatenate(tmp_path):
         tile2, np.broadcast_to([0.8, 0.288, 0.637867], tile2.shape),
         rtol=1e-5,
     )
-    # translation applied to the second mesh
-    assert float(np.asarray(scene.triangles.a.x)[6:].min()) >= 0.9
+    # translation applied to the second mesh (mat slot 1)
+    ax = np.asarray(scene.triangles.a.x)
+    assert float(ax[ids == 1].min()) >= 0.9
 
     # and it renders
     sums = render(

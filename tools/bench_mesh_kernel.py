@@ -51,6 +51,10 @@ def main():
               f"{best/rays*1e9:6.2f} ns/ray  (compile {compile_s:.0f}s)")
         return out, best
 
+    if os.environ.get("RAYTPU_BENCH_MK_ONLY"):
+        timeit("megakernel", cfg.replace(use_megakernel=True))
+        return
+
     a, _ = timeit("scan", cfg)
     b, _ = timeit("scan+pallas_select", cfg.replace(use_pallas=True))
     c, _ = timeit("megakernel", cfg.replace(use_megakernel=True))
