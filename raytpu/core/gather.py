@@ -195,6 +195,62 @@ def gather_channels(tables: Sequence[Array], idx: Array) -> list[Array]:
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _take_packed_n(
+    n: int, r: Array, g: Array, b: Array, a: Array,
+    packed: Array, idx: Array,
+):
+    """Fetch (r, g, b, a)[idx] from the u8-packed uint32 atlas table.
+
+    ``packed`` is the (n_rows, 128) table built by io.obj.pack_rgba_u8;
+    the forward never touches the f32 channels — one uint32 row-gather
+    + integer lane-select + byte unpack + a correctly-rounded
+    ``n * f32(1/255)`` reconstructs them bit-exactly at a quarter of
+    the f32 layout's bytes. That keeps very large atlases (pyramide_eau:
+    9.2M texels = 147MB as f32, 37MB packed) inside the fast gather
+    regime: measured on v5e, the f32 layout-3 path runs 344 ns/ray on
+    that scene vs 14 with a VMEM-sized table.
+
+    Differentiable w.r.t. the f32 channels (scatter-add backward; slow
+    serial TPU scatter, acceptable because big-atlas texture training is
+    off the hot path).
+    """
+    del r, g, b, a
+    rows = jnp.take(packed, idx // LANE, axis=0)          # (B, 128)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    slot = (idx % LANE)[:, None]
+    v = jnp.sum(
+        jnp.where(lane_ids == slot, rows, jnp.uint32(0)), axis=1
+    )
+    inv = jnp.float32(1.0 / 255.0)
+    out = tuple(
+        ((v >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.float32)
+        * inv
+        for k in range(4)
+    )
+    return out
+
+
+def _take_packed_fwd(n, r, g, b, a, packed, idx):
+    return _take_packed_n(n, r, g, b, a, packed, idx), idx
+
+
+def _take_packed_bwd(n, idx, ct):
+    grads = tuple(
+        jnp.zeros((n,), jnp.float32).at[idx].add(c) for c in ct
+    )
+    return (*grads, None, None)
+
+
+_take_packed_n.defvjp(_take_packed_fwd, _take_packed_bwd)
+
+
+def take_packed_rgba(
+    r: Array, g: Array, b: Array, a: Array, packed: Array, idx: Array
+):
+    return _take_packed_n(r.shape[0], r, g, b, a, packed, idx)
+
+
 def gather1d(table: Array, idx: Array) -> Array:
     """table (N,), idx (...,) int -> table[idx]; TPU-fast in compile AND
     runtime. Prefer gather_channels when several tables share the index."""

@@ -145,6 +145,15 @@ class TextureAtlas:
     alpha: Array  # (M*H*W,)
     width: int = struct.field(pytree_node=False, default=1)
     height: int = struct.field(pytree_node=False, default=1)
+    # Optional u8-packed copy (r | g<<8 | b<<16 | a<<24) as a
+    # (ceil(M*H*W/128), 128) uint32 row-gather table — 4x smaller than
+    # the four f32 channels, which keeps huge atlases (pyramide_eau:
+    # 147MB as f32) inside the fast VMEM-resident gather path. Built by
+    # io.obj.build_atlas ONLY when every channel is exactly
+    # n * f32(1/255) for integer n (the loader convention), so the
+    # device-side reconstruction is bit-identical to the f32 tables;
+    # None means "no exact u8 form" and fetches use the f32 path.
+    packed: Array = None
 
     @property
     def count(self) -> int:

@@ -9,6 +9,17 @@ capability superset.
 Row convention: arrays are stored *bottom-up* (row 0 = image bottom),
 matching the reference texture loaders (texture.h:126 reads rows
 height-1..0), so v=0 in UV space is the image bottom.
+
+Quantization convention: u8 samples normalize as ``n * f32(1/255)``
+(not ``n / 255``, the reference's texture.h formulation; <= 1 ulp
+apart on 96 of 256 values). Multiplication is correctly rounded on the
+TPU VPU while lowered division is not, so this convention lets the
+renderer reconstruct texels bit-exactly from u8-packed atlas tables
+(core/gather.py take_packed_rgba) — the layout that keeps >100MB
+atlases (pyramide_eau: 9.2M texels) inside a VMEM-resident row-gather.
+Every producer (here, ppm.py, the native C++ parser, solid-Kd tiles in
+io/obj.py) uses the same convention, and the oracle consumes the same
+Scene, so all bit-identity guarantees are preserved repo-wide.
 """
 
 from __future__ import annotations
@@ -28,7 +39,7 @@ def load_rgb(path: str) -> np.ndarray:
     from PIL import Image
 
     im = Image.open(path).convert("RGB")
-    arr = np.asarray(im, np.float32) / 255.0
+    arr = np.asarray(im, np.float32) * np.float32(1.0 / 255.0)
     return np.ascontiguousarray(arr[::-1])  # PIL is top-down
 
 
@@ -41,7 +52,7 @@ def load_gray(path: str) -> np.ndarray:
     from PIL import Image
 
     im = Image.open(path).convert("L")
-    arr = np.asarray(im, np.float32) / 255.0
+    arr = np.asarray(im, np.float32) * np.float32(1.0 / 255.0)
     return np.ascontiguousarray(arr[::-1])
 
 
@@ -51,7 +62,7 @@ def load_png_alpha(path: str) -> Optional[np.ndarray]:
 
     im = Image.open(path)
     if im.mode in ("RGBA", "LA", "PA"):
-        arr = np.asarray(im.convert("RGBA"), np.float32)[..., 3] / 255.0
+        arr = np.asarray(im.convert("RGBA"), np.float32)[..., 3] * np.float32(1.0 / 255.0)
         return np.ascontiguousarray(arr[::-1])
     return None
 

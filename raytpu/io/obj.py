@@ -162,12 +162,26 @@ def build_atlas(
     rgbs, alphas = [], []
     pending: list[int] = []
     shape = None
+    def q8(v):
+        # solid tiles quantize to the u8 lattice so the whole atlas
+        # stays exactly u8-representable (enables the packed table
+        # below); <= 1/510 from the raw MTL float, invisible at 8-bit
+        # output depth
+        return float(
+            np.float32(round(min(max(float(v), 0.0), 1.0) * 255))
+            * np.float32(1.0 / 255.0)
+        )
+
     for i, p in enumerate(tex_paths):
         if p is None:
             fc = fallback_colors[i] if fallback_colors else None
-            color = tuple(fc) if fc is not None else (0.784, 0.784, 0.784)
+            color = (
+                tuple(q8(c) for c in fc)
+                if fc is not None
+                else (q8(0.784),) * 3
+            )
             fa = fallback_alphas[i] if fallback_alphas else None
-            a_val = float(fa) if fa is not None else 1.0
+            a_val = q8(fa) if fa is not None else 1.0
             if shape is None:
                 pending.append(len(rgbs))
                 rgbs.append(color)       # placeholder, expanded below
@@ -211,7 +225,30 @@ def build_atlas(
         alpha=jnp.asarray(alpha_flat),
         width=w,
         height=h,
+        packed=pack_rgba_u8(
+            rgb_flat[:, 0], rgb_flat[:, 1], rgb_flat[:, 2], alpha_flat
+        ),
     )
+
+
+def pack_rgba_u8(r, g, b, a):
+    """u8-pack four f32 channels into a (ceil(N/128), 128) uint32
+    row-gather table (r | g<<8 | b<<16 | a<<24), or None if any value is
+    not exactly ``n * f32(1/255)`` (see TextureAtlas.packed). Host-side
+    numpy; called once at scene load."""
+    chans = [np.asarray(c, np.float32) for c in (r, g, b, a)]
+    codes = []
+    for c in chans:
+        n = np.rint(c * 255.0).astype(np.int64)
+        if (n < 0).any() or (n > 255).any():
+            return None
+        if not (n.astype(np.float32) * np.float32(1.0 / 255.0) == c).all():
+            return None
+        codes.append(n.astype(np.uint32))
+    v = codes[0] | (codes[1] << 8) | (codes[2] << 16) | (codes[3] << 24)
+    n_rows = -(-v.size // 128)
+    v = np.pad(v, (0, n_rows * 128 - v.size))
+    return jnp.asarray(v.reshape(n_rows, 128))
 
 
 def mesh_to_triangles(

@@ -55,7 +55,9 @@ def read_ppm(path: str, bottom_up: bool = True, use_native: bool = True) -> np.n
     vals = np.array(tokens[4 : 4 + w * h * 3], dtype=np.float32)
     if vals.size != w * h * 3:
         raise ValueError(f"{path}: expected {w*h*3} samples, got {vals.size}")
-    img = vals.reshape(h, w, 3) / maxval
+    # n * f32(1/maxval), the repo-wide quantization convention (see
+    # io/image.py module docstring); the native parser matches bit-for-bit
+    img = vals.reshape(h, w, 3) * np.float32(1.0 / maxval)
     if bottom_up:
         img = img[::-1]
     return np.ascontiguousarray(img)

@@ -8,25 +8,30 @@ dense (B, T) distance matrices (+argmin), a 25-channel winner row-gather
 and an atlas row-gather per bounce. Here everything happens in one
 kernel launch per ray tile:
 
-  * closest-hit: spheres (static unroll) then triangles in 128-wide
-    chunks behind a per-chunk AABB slab cull (hit_BBox,
-    /root/reference/triangle.hu:42-59, generalized per chunk), with the
-    candidate loop carrying the winner's vertices/UVs/material through
-    ``better`` selects — the distance matrix and the winner gather never
-    exist.
+  * closest-hit: spheres (static unroll) then triangles in
+    CULL_CHUNK-wide chunks behind a per-chunk AABB slab cull (hit_BBox,
+    /root/reference/triangle.hu:42-59, generalized per chunk). The hot
+    loop carries ONLY (best_t, best_idx); the winner's 19 data channels
+    (vertices, normal, UVs, material) are recovered after the loop by a
+    one-hot MXU contraction against a VMEM copy of the triangle table —
+    the distance matrix and the winner row-gather never exist.
   * texturing: nearest-texel fetch (tri_uvmapping, texture.h:44-69)
     computed in-kernel over the texture-ROW space: rays relay to the
-    lane dim (1, ROWS*128) and ONE unconditional HIGHEST-precision MXU
-    contraction out(4*atlas_w, rays) = A(4*atlas_w, texrows) @
-    onehot(texrows, rays) pulls every x-position of each ray's winner
-    row (texrow = tex_y + atlas_h * mat); a sublane mask-reduce
-    (iota % atlas_w == tex_x) then picks the texel. Both steps are
-    exact in f32 (single nonzero term per output; the reduce adds one
-    texel to exact zeros), so texels match jnp.take bit-for-bit.
-    Measured (tools/probe_texrow.py, mcworld shape): 1.3 ns/ray vs 48
-    for the per-texel-chunk scheme this replaces — the fetch no longer
-    dominates, so many-chunk scenes (mcworld: 22 chunks) now run
+    lane dim (1, rows*128) and ONE unconditional MXU contraction
+    out(4*atlas_w, rays) = A(4*atlas_w, texrows) @ onehot(texrows, rays)
+    pulls every x-position of each ray's winner row
+    (texrow = tex_y + atlas_h * mat); a sublane mask-reduce
+    (iota % atlas_w == tex_x) then picks the texel. Measured
+    (tools/probe_texrow.py, mcworld shape): 1.3 ns/ray vs 48 for the
+    per-texel-chunk scheme this replaces — the fetch no longer
+    dominates, so many-tile scenes (mcworld: 176 texture rows) run
     in-kernel instead of falling back to the scan path.
+  * both one-hot contractions are exact and run as a SINGLE default-
+    precision bf16 MXU pass: the A operands are pre-split into three
+    stacked bf16 limbs (_limb3) and the three output slabs summed —
+    the same decomposition XLA's HIGHEST f32 matmul uses, minus the
+    six passes a one-hot B makes irrelevant. Texels and winner channels
+    match jnp.take bit-for-bit (tests/test_mesh_megakernel.py).
   * the full bounce-state (origin, direction, throughput, radiance,
     AOVs, alive mask, medium IOR) stays in registers/VMEM across all
     bounces; a bounce whose tile has no live rays is skipped entirely
@@ -65,10 +70,26 @@ from raytpu.kernels._common import BIG, LANE, pad_prims, pad_rows
 
 import os as _os
 
-ROWS = int(_os.environ.get("RAYTPU_MK_ROWS", "8"))
-                    # rays per grid step = ROWS*128; the hot loop carries
-                    # only (best_t, best_idx) since the one-hot winner
-                    # extraction landed, so larger tiles are feasible
+# rays per grid step = rows*128. Measured on v5e (mcworld 320x240x32):
+# 8 rows -> 24.7 ns/ray-bounce, 16 -> 17.8, 32 -> 14.5, 64 -> 13.9,
+# 128 -> 15.8 — big tiles amortize the ~540ns taken-branch cost of the
+# per-chunk cull conds over more rays. But small scenes (pyramide, 5
+# tris) LOSE at big tiles (2.8 -> 5.5 ns): most rays die on the first
+# bounce and the whole-bounce dead-tile skip fires far more often for
+# small tiles. _pick_rows() dispatches on triangle count; the env var
+# overrides for probes.
+ROWS_BIG = 64
+ROWS_SMALL = 8
+ROWS_POLICY_TRIS = 384   # >= this many triangles -> ROWS_BIG
+
+
+def _pick_rows(n_tris: int) -> int:
+    env = _os.environ.get("RAYTPU_MK_ROWS")
+    if env:
+        return int(env)
+    return ROWS_BIG if n_tris >= ROWS_POLICY_TRIS else ROWS_SMALL
+
+
 # timing-only ablation knobs (comma list: ext,tex,tri,shade) — output is
 # WRONG with any set; used by tools/bench_mesh_kernel.py bisection
 _ABLATE = set(
@@ -82,8 +103,11 @@ CULL_CHUNK = int(_os.environ.get("RAYTPU_MK_CULL_CHUNK", "32"))
                     # triangles per cull AABB: finer boxes exploit the
                     # Morton ordering (geometry/morton.py) — a skipped
                     # chunk saves ~40*CULL_CHUNK vector ops for ~25
-EXT_CHUNK = 256     # winner-extraction one-hot tile (lane dim of the
+EXT_CHUNK = 128     # winner-extraction one-hot tile (lane dim of the
                     # VMEM tri table consumed per MXU contraction step)
+# winner-extraction channel layout (pack_scene): 19 rows per limb
+#   0-2 a | 3-5 n | 6-8 b | 9-11 c | 12-17 ua va ub vb uc vc | 18 mat
+EXT_NR = 19
 # texture-row fetch bounds: the A operand is (4*atlas_w, texrows) f32 in
 # VMEM and the per-bounce onehot materializes (texrows_pad, 1024) f32, so
 # cap both dims (mcworld: 64 x 256 = 64KB; grass_block's 1440x1920 PNG
@@ -261,10 +285,15 @@ def _kernel(
 
         # ---- winner extraction: one-hot MXU dot on the VMEM tri table.
         # Exact: single nonzero term per output, accumulated against
-        # exact zeros (same argument as the texture fetch). Lanes whose
-        # winner is a sphere (or a miss) extract all-zero channels; every
-        # downstream use is gated on tri_wins.
-        n = ROWS * LANE
+        # exact zeros (same argument as the texture fetch). The table is
+        # pre-split into 3 bf16 limbs (pack_scene) so ONE default-
+        # precision bf16 matmul per chunk replaces HIGHEST's 9 passes;
+        # with a one-hot B only the A limbs contribute, so summing the
+        # three limb slabs reconstructs the f32 winner bit-for-bit —
+        # the same arithmetic HIGHEST performs, at a third the MACs.
+        # Lanes whose winner is a sphere (or a miss) extract all-zero
+        # channels; every downstream use is gated on tri_wins.
+        n = ox.shape[0] * LANE
         t_pad = trivm_ref.shape[1]
         sel_flat = jnp.where(
             bidx >= n_spheres, bidx - n_spheres, -1
@@ -273,30 +302,34 @@ def _kernel(
         # unconditional: a taken Mosaic cond costs ~540 ns (pipeline
         # refill, tools/probe_cond.py) and mesh tiles almost always have
         # a triangle winner, so a "skip if no winner" branch would cost
-        # more than the ~0.8 us dot it guards
+        # more than the dot it guards
         acc0 = jnp.zeros((trivm_ref.shape[0], n), jnp.float32)
+        ext_iota = jax.lax.broadcasted_iota(jnp.int32, (EXT_CHUNK, n), 0)
 
         def ext_chunk(c, acc):
-            sub = jax.lax.broadcasted_iota(jnp.int32, (EXT_CHUNK, n), 0)
-            onehot = (sub == sel_flat - c * EXT_CHUNK).astype(jnp.float32)
+            onehot = (ext_iota == sel_flat - c * EXT_CHUNK).astype(
+                jnp.bfloat16
+            )
             return acc + jnp.dot(
                 trivm_ref[:, pl.ds(c * EXT_CHUNK, EXT_CHUNK)], onehot,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
             )
 
         if "ext" in _ABLATE:
             wout = acc0
         else:
             wout = jax.lax.fori_loop(0, t_pad // EXT_CHUNK, ext_chunk, acc0)
-        row = lambda j: wout[j : j + 1].reshape(ROWS, LANE)
+        row = lambda j: (
+            (wout[j : j + 1] + wout[EXT_NR + j : EXT_NR + j + 1])
+            + wout[2 * EXT_NR + j : 2 * EXT_NR + j + 1]
+        ).reshape(ox.shape)
         wax, way, waz = row(0), row(1), row(2)
-        wnx, wny, wnz = row(9), row(10), row(11)
-        wbx, wby, wbz = row(12), row(13), row(14)
-        wcx, wcy, wcz = row(15), row(16), row(17)
-        wua, wva, wub = row(18), row(19), row(20)
-        wvb, wuc, wvc = row(21), row(22), row(23)
-        wmat = row(24)
+        wnx, wny, wnz = row(3), row(4), row(5)
+        wbx, wby, wbz = row(6), row(7), row(8)
+        wcx, wcy, wcz = row(9), row(10), row(11)
+        wua, wva, wub = row(12), row(13), row(14)
+        wvb, wuc, wvc = row(15), row(16), row(17)
+        wmat = row(18)
 
         did_hit = bidx >= 0
         tri_wins = bidx >= n_spheres
@@ -366,26 +399,27 @@ def _kernel(
                 jnp.floor(vv * atlas_h).astype(jnp.int32), 0, atlas_h - 1
             )
             mat_i = wmat.astype(jnp.int32)
-            n = ROWS * LANE
+            n = ox.shape[0] * LANE
             texrow = jnp.where(
                 active & tri_wins, tex_y + atlas_h * mat_i, -1
             ).reshape(1, n)
             flat_x = tex_x.reshape(1, n)
             r_pad = atlas_ref.shape[1]
-            w4 = atlas_ref.shape[0]
+            w4p = atlas_ref.shape[0] // 3               # rows per limb
 
             def tex_fetch(_):
                 sub = jax.lax.broadcasted_iota(jnp.int32, (r_pad, n), 0)
-                onehot = (sub == texrow).astype(jnp.float32)
-                # HIGHEST: Mosaic's default matmul rounds f32 operands to
-                # bf16 (2^-8 rel error); the multi-pass decomposition is
-                # exact for a one-hot contraction
-                out = jnp.dot(
+                onehot = (sub == texrow).astype(jnp.bfloat16)
+                # the atlas operand is 3 stacked bf16 limbs (pack_scene);
+                # one default-precision matmul + a 3-slab sum is exact
+                # for a one-hot contraction (same argument as the winner
+                # extraction above)
+                out3 = jnp.dot(
                     atlas_ref[:, :], onehot,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                       # (w4, n)
-                xsub = jax.lax.broadcasted_iota(jnp.int32, (w4, n), 0)
+                )                                       # (3*w4p, n)
+                out = (out3[:w4p] + out3[w4p : 2 * w4p]) + out3[2 * w4p :]
+                xsub = jax.lax.broadcasted_iota(jnp.int32, (w4p, n), 0)
                 mask = (xsub % atlas_w == flat_x).astype(jnp.float32)
                 prod = out * mask
                 chans = []
@@ -393,7 +427,7 @@ def _kernel(
                     a = prod[c * atlas_w : c * atlas_w + 1]
                     for k in range(1, atlas_w):
                         a = a + prod[c * atlas_w + k : c * atlas_w + k + 1]
-                    chans.append(a.reshape(ROWS, LANE))
+                    chans.append(a.reshape(ox.shape))
                 return tuple(chans)
 
             # unconditional for the same reason as the winner extraction:
@@ -596,22 +630,24 @@ def _kernel(
         "n_spheres", "n_tris", "n_mats", "has_atlas",
         "atlas_w", "atlas_h", "bounces", "sphere_eps", "det_eps",
         "tri_eps", "alpha_lo", "alpha_hi", "bright_boost",
-        "bright_threshold", "n_draws", "hsl_l", "hsl_s", "interpret",
+        "bright_threshold", "n_draws", "hsl_l", "hsl_s", "tile_rows",
+        "interpret",
     ),
 )
 def _trace_call(
     sph, tri, trivm, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws,
     *, n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
-    bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, interpret,
+    bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tile_rows,
+    interpret,
 ):
     rows = ox.shape[0]
-    grid = (rows // ROWS,)
+    grid = (rows // tile_rows,)
     ray_spec = pl.BlockSpec(
-        (ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (tile_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     draws_spec = pl.BlockSpec(
-        (draws.shape[0], ROWS, LANE), lambda i: (0, i, 0),
+        (draws.shape[0], tile_rows, LANE), lambda i: (0, i, 0),
         memory_space=pltpu.VMEM,
     )
     atlas_spec = pl.BlockSpec(
@@ -641,6 +677,26 @@ def _trace_call(
         out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 9,
         interpret=interpret,
     )(sph, tri, trivm, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws)
+
+
+def _limb3(a: Array, pad_to: int) -> Array:
+    """Exact 3-limb bf16 decomposition of f32 ``a``, stacked on axis 0.
+
+    bf16 carries 8 mantissa bits, so three round-to-nearest limbs cover
+    f32's 24: a == (a0 + a1) + a2 exactly (the kernel reconstructs in
+    that order). This is the same decomposition XLA's HIGHEST-precision
+    f32 matmul applies to its operands; against a one-hot B only the A
+    limbs contribute, so a single default bf16 MXU pass over the stacked
+    limbs reproduces HIGHEST bit-for-bit at a third of the MACs
+    (verified by the kernel-vs-scan bit-identity tests).
+    """
+    a0 = a.astype(jnp.bfloat16)
+    r1 = a - a0.astype(jnp.float32)
+    a1 = r1.astype(jnp.bfloat16)
+    r2 = r1 - a1.astype(jnp.float32)
+    a2 = r2.astype(jnp.bfloat16)
+    out = jnp.concatenate([a0, a1, a2])
+    return jnp.pad(out, ((0, pad_to - out.shape[0]), (0, 0)))
 
 
 def pack_scene(scene: Scene, geom: TriangleGeom):
@@ -675,8 +731,14 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
         ],
         t_pad,
     )
-    # VMEM copy for the winner-extraction MXU dot (25 -> 32 sublanes)
-    trivm = jnp.pad(tri, ((0, 32 - tri.shape[0]), (0, 0)))
+    # winner-extraction operand: only the 19 channels the kernel reads
+    # after the loop (EXT_NR layout: a3 n3 b3 c3 uv6 mat), pre-split
+    # into 3 stacked bf16 limbs (57 rows -> 64 sublanes) so extraction
+    # is one default-precision MXU pass instead of HIGHEST's nine
+    ext_rows = jnp.concatenate(
+        [tri[0:3], tri[9:12], tri[12:18], tri[18:24], tri[24:25]]
+    )
+    trivm = _limb3(ext_rows, pad_to=64)
 
     # per-CULL_CHUNK AABBs (as kernels/intersect.py, incl. the 1-ulp
     # conservative inflation for the recomputed b/c vertices); only
@@ -736,9 +798,9 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
             a = a.at[ch * w : (ch + 1) * w, :n_rows].set(
                 chan.reshape(n_rows, w).T
             )
-        atlas = a
+        atlas = _limb3(a, pad_to=3 * w4_pad)
     else:
-        atlas = jnp.zeros((8, LANE), jnp.float32)
+        atlas = jnp.zeros((24, LANE), jnp.bfloat16)
 
     return sph, tri, trivm, boxes, mats, atlas
 
@@ -753,8 +815,9 @@ def trace_mesh_megakernel(
 ) -> tuple[Vec3, Vec3, Vec3]:
     """Drop-in for integrator.path.trace on supported mesh scenes."""
     b = origin.x.shape[0]
-    rows = max(-(-b // LANE), ROWS)
-    rows = -(-rows // ROWS) * ROWS
+    tile_rows = _pick_rows(scene.triangles.count)
+    rows = max(-(-b // LANE), tile_rows)
+    rows = -(-rows // tile_rows) * tile_rows
 
     geom = precompute(scene.triangles)
     sph, tri, trivm, boxes, mats, atlas = pack_scene(scene, geom)
@@ -781,7 +844,7 @@ def trace_mesh_megakernel(
         bright_boost=cfg.bright_boost,
         bright_threshold=cfg.bright_threshold,
         n_draws=nd, hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
-        interpret=interpret,
+        tile_rows=tile_rows, interpret=interpret,
     )
     flat = [o.reshape(-1)[:b] for o in out]
     return (

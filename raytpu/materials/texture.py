@@ -13,7 +13,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-from raytpu.core.gather import gather1d, gather_channels
+from raytpu.core.gather import (
+    ROW_LIMIT, gather1d, gather_channels, take_packed_rgba,
+)
 from raytpu.core.types import MatTable, Materials, SkyTexture, TextureAtlas
 from raytpu.core.vec3 import Vec3
 from raytpu.geometry.triangle import barycentric
@@ -39,9 +41,19 @@ def atlas_fetch(
     x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
     idx = (y * w + x) + (h * w) * mat_id
-    r, g, b, alpha = gather_channels(
-        [atlas.rgb.x, atlas.rgb.y, atlas.rgb.z, atlas.alpha], idx
-    )
+    n_tex = atlas.alpha.shape[0]
+    if atlas.packed is not None and n_tex > ROW_LIMIT:
+        # huge atlases: u8-packed uint32 row-gather (bit-exact, 4x
+        # fewer bytes — keeps the table in the fast gather regime; the
+        # f32 layout-3 path degrades ~25x once the table exceeds VMEM)
+        r, g, b, alpha = take_packed_rgba(
+            atlas.rgb.x, atlas.rgb.y, atlas.rgb.z, atlas.alpha,
+            atlas.packed, idx,
+        )
+    else:
+        r, g, b, alpha = gather_channels(
+            [atlas.rgb.x, atlas.rgb.y, atlas.rgb.z, atlas.alpha], idx
+        )
     return Vec3(r, g, b), alpha
 
 

@@ -201,14 +201,15 @@ int64_t ppm_parse(const char* path, int64_t* dims) {
   d.w = (int32_t)w;
   d.h = (int32_t)h;
   d.rgb.resize((size_t)w * h * 3);
-  // true division (not reciprocal-multiply) to match numpy's f32
-  // rounding bit-for-bit
-  float fmax = (float)maxval;
+  // n * f32(1/maxval): the repo-wide quantization convention (see
+  // raytpu/io/image.py). The reciprocal goes through double first to
+  // match numpy's f64-then-f32 rounding bit-for-bit.
+  float inv = (float)(1.0 / (double)maxval);
   for (size_t i = 0; i < d.rgb.size(); i++) {
     long v = std::strtol(p, &q, 10);
     if (q == p) return 0;  // short file
     p = q;
-    d.rgb[i] = (float)v / fmax;
+    d.rgb[i] = (float)v * inv;
   }
   dims[0] = w;
   dims[1] = h;

@@ -47,3 +47,45 @@ def test_many_channels_chunking():
     assert len(out) == c
     for t, o in zip(tables, out):
         np.testing.assert_array_equal(np.asarray(o), t[idx])
+
+
+def test_take_packed_rgba_bit_exact_and_grad():
+    """u8-packed uint32 fetch must match the f32 gather bit-for-bit on
+    loader-convention values (n * f32(1/255)), and backpropagate the
+    same per-texel gradients."""
+    from raytpu.core.gather import take_packed_rgba
+    from raytpu.io.obj import pack_rgba_u8
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    chans = [
+        (rng.integers(0, 256, size=n).astype(np.float32)
+         * np.float32(1.0 / 255.0))
+        for _ in range(4)
+    ]
+    packed = pack_rgba_u8(*chans)
+    assert packed is not None and packed.dtype == jnp.uint32
+    idx = jnp.asarray(rng.integers(0, n, size=400).astype(np.int32))
+    jc = [jnp.asarray(c) for c in chans]
+    out = take_packed_rgba(*jc, packed, idx)
+    for c, o in zip(chans, out):
+        np.testing.assert_array_equal(np.asarray(o), c[np.asarray(idx)])
+
+    # gradient w.r.t. the red channel == scatter of the cotangent
+    w = jnp.asarray(rng.normal(size=400).astype(np.float32))
+    g = jax.grad(
+        lambda r: jnp.sum(take_packed_rgba(r, *jc[1:], packed, idx)[0] * w)
+    )(jc[0])
+    g_ref = jax.grad(
+        lambda r: jnp.sum(jnp.take(r, idx, axis=0) * w)
+    )(jc[0])
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-6)
+
+
+def test_pack_rgba_u8_rejects_non_lattice():
+    from raytpu.io.obj import pack_rgba_u8
+
+    ok = np.array([0.0, 1.0, 128 * np.float32(1.0 / 255.0)], np.float32)
+    bad = np.array([0.0, 0.5, 1.0], np.float32)  # 0.5 not on the lattice
+    assert pack_rgba_u8(ok, ok, ok, ok) is not None
+    assert pack_rgba_u8(bad, ok, ok, ok) is None

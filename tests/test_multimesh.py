@@ -56,7 +56,11 @@ def test_two_meshes_concatenate(tmp_path):
     rgb = np.asarray(scene.atlas.rgb.to_array())
     tile2 = rgb[h * w :]
     np.testing.assert_allclose(
-        tile2, np.broadcast_to([0.8, 0.288, 0.637867], tile2.shape),
+        tile2,
+        np.broadcast_to(
+            np.round(np.array([0.8, 0.288, 0.637867]) * 255) / 255,
+            tile2.shape,
+        ),
         rtol=1e-5,
     )
     # translation applied to the second mesh (mat slot 1)
