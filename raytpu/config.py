@@ -124,7 +124,7 @@ def _concat_tables(parts: list[MatTable]) -> MatTable:
     )
 
 
-def _load_meshes(specs: list[dict], base: str):
+def _load_meshes(specs: list[dict], base: str, collapse: bool = True):
     """[[meshes]] entries -> concatenated (Triangles, TextureAtlas,
     MatTable) with per-mesh material-slot offsets. The atlas is built in
     one pass over every mesh's materials so the shared-tile-size rule
@@ -155,7 +155,10 @@ def _load_meshes(specs: list[dict], base: str):
         table_parts.append(_mat_table_from_spec(n_mat, m.get("materials", [])))
         tri_parts.append(tris.replace(mat_id=tris.mat_id + offset))
         offset += n_mat
-    atlas = build_atlas(paths, fallback_colors=colors, fallback_alphas=alphas)
+    atlas = build_atlas(
+        paths, fallback_colors=colors, fallback_alphas=alphas,
+        collapse=collapse,
+    )
     return (
         _concat_triangles(tri_parts),
         atlas,
@@ -208,7 +211,9 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
         # move_mesh translation): concatenated triangle SoA with
         # per-mesh material-slot offsets; all texture tiles still share
         # one (W, H) (texture.h:221)
-        triangles, atlas, mat_table = _load_meshes(spec["meshes"], base)
+        triangles, atlas, mat_table = _load_meshes(
+            spec["meshes"], base, collapse=not cfg.bilinear_textures
+        )
     elif "mesh" in spec:
         from raytpu.io.mesh_formats import parse_mesh
         from raytpu.io.obj import build_atlas, mesh_to_triangles, parse_mtl
@@ -230,6 +235,9 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
                 [e.get("map_kd") for e in entries],
                 fallback_colors=[e.get("kd") for e in entries],
                 fallback_alphas=[e.get("d") for e in entries],
+                # nearest fetch: collapsing is bit-exact; bilinear
+                # interpolates across texels, so keep full resolution
+                collapse=not cfg.bilinear_textures,
             )
         mat_table = _mat_table_from_spec(n_mat, m.get("materials", []))
         if m.get("mtl_physics", False) and "mtl" in m and mesh.mat_names:

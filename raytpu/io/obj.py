@@ -149,16 +149,53 @@ def parse_mtl(mtl_path: str) -> dict:
     return mats
 
 
+def collapse_factor(tiles: Sequence[np.ndarray], h: int, w: int) -> int:
+    """Largest k dividing both (h, w) such that every array in ``tiles``
+    (shape (h, w) or (h, w, C)) is constant on k x k blocks — i.e. the
+    textures are nearest-neighbor upscales of an (h/k, w/k) original
+    (common for pixel-art assets: the reference's grass_block PNG is
+    1920x1440 but constant on 30x30 blocks, a 16x16-per-face Minecraft
+    texture). Collapsing by k is BIT-EXACT under nearest sampling:
+    x = floor(u*w) then texel x maps to collapsed texel x//k, and
+    floor(floor(u*w)/k) == floor(u*(w/k)) for integer k | w."""
+    import math
+
+    k = math.gcd(h, w)
+    while k > 1:
+        if h % k == 0 and w % k == 0:
+            ok = True
+            for t in tiles:
+                v = t.reshape(h // k, k, w // k, k, -1)
+                if not (v == v[:, :1, :, :1]).all():
+                    ok = False
+                    break
+            if ok:
+                return k
+        # next smaller divisor of gcd(h, w)
+        k -= 1
+        while k > 1 and (h % k or w % k):
+            k -= 1
+    return 1
+
+
 def build_atlas(
     tex_paths: Sequence[Optional[str]],
     fallback_colors: Optional[Sequence] = None,
     fallback_alphas: Optional[Sequence] = None,
+    collapse: bool = True,
 ) -> TextureAtlas:
     """create_mat_list_mtl (texture.h:175-354): one flat atlas; all
     textures must share one (W, H) (texture.h:221). Materials without a
     texture get a solid tile of their MTL Kd color (``fallback_colors``)
     — the CUDA fork's per-material diffuse (triangle.hu:104-117) —
-    defaulting to the SKY-ish constant the CPU path would produce."""
+    defaulting to the SKY-ish constant the CPU path would produce.
+
+    ``collapse``: drop nearest-upscaled textures to their true resolution
+    (collapse_factor) — bit-exact for the nearest fetch and often the
+    difference between the megakernel's in-VMEM texture bounds and the
+    scan path (grass_block: 2.76M texels -> 3072). Pass False when
+    bilinear filtering is enabled (filtering at collapsed resolution
+    widens the interpolation footprint)."""
     rgbs, alphas = [], []
     pending: list[int] = []
     shape = None
@@ -194,28 +231,32 @@ def build_atlas(
             if shape is None:
                 shape = rgb.shape[:2]
                 for j in pending:
-                    rgbs[j] = np.full(
-                        shape + (3,), rgbs[j], np.float32
-                    ).reshape(-1, 3)
-                    alphas[j] = np.full(shape, alphas[j], np.float32).reshape(-1)
+                    rgbs[j] = np.full(shape + (3,), rgbs[j], np.float32)
+                    alphas[j] = np.full(shape, alphas[j], np.float32)
                 pending.clear()
             elif rgb.shape[:2] != shape:
                 raise ValueError(
                     f"atlas textures must share one size (texture.h:221): "
                     f"{p} is {rgb.shape[:2]}, expected {shape}"
                 )
-        rgbs.append(rgb.reshape(-1, 3))
-        alphas.append(alpha.reshape(-1))
+        rgbs.append(rgb)
+        alphas.append(alpha)
     if shape is None:
         # no textures at all: 1x1 solid tiles
         shape = (1, 1)
         for j in pending:
-            rgbs[j] = np.asarray([rgbs[j]], np.float32).reshape(-1, 3)
-            alphas[j] = np.asarray([alphas[j]], np.float32).reshape(-1)
+            rgbs[j] = np.asarray(rgbs[j], np.float32).reshape(1, 1, 3)
+            alphas[j] = np.asarray(alphas[j], np.float32).reshape(1, 1)
         pending.clear()
     h, w = shape
-    rgb_flat = np.concatenate(rgbs, 0)
-    alpha_flat = np.concatenate(alphas, 0)
+    if collapse and (h > 1 or w > 1):
+        k = collapse_factor(rgbs + alphas, h, w)
+        if k > 1:
+            rgbs = [t[::k, ::k] for t in rgbs]
+            alphas = [t[::k, ::k] for t in alphas]
+            h, w = h // k, w // k
+    rgb_flat = np.concatenate([t.reshape(-1, 3) for t in rgbs], 0)
+    alpha_flat = np.concatenate([t.reshape(-1) for t in alphas], 0)
     return TextureAtlas(
         rgb=Vec3(
             jnp.asarray(rgb_flat[:, 0]),

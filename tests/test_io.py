@@ -110,6 +110,51 @@ class TestAtlas:
         atlas = build_atlas([f"{d}/murs.png"])
         assert (atlas.width, atlas.height) == (1500, 1227)
 
+    def test_collapse_factor_upscaled(self):
+        """A kxk nearest-upscale collapses back to the original — the
+        grass_block case (1920x1440 PNG constant on 30x30 blocks)."""
+        from raytpu.io.obj import collapse_factor
+
+        rng = np.random.default_rng(0)
+        base = rng.random((12, 16, 3)).astype(np.float32)
+        up = np.repeat(np.repeat(base, 5, axis=0), 5, axis=1)
+        assert collapse_factor([up], 60, 80) == 5
+        # non-collapsible: random full-res texture
+        noisy = rng.random((60, 80, 3)).astype(np.float32)
+        assert collapse_factor([noisy], 60, 80) == 1
+        # the factor is the largest k valid for EVERY tile jointly
+        up2 = np.repeat(np.repeat(rng.random((6, 8)).astype(np.float32),
+                                  10, axis=0), 10, axis=1)
+        assert collapse_factor([up, up2], 60, 80) == 5
+
+    def test_collapse_bit_exact_nearest(self):
+        """Collapsed atlas returns the identical texel for every uv under
+        the nearest fetch: floor(floor(u*w)/k) == floor(u*(w/k))."""
+        import tempfile
+
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from raytpu.materials.texture import atlas_fetch
+
+        rng = np.random.default_rng(1)
+        base = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+        up = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+        with tempfile.TemporaryDirectory() as d:
+            Image.fromarray(up).save(f"{d}/t.png")
+            full = build_atlas([f"{d}/t.png"], collapse=False)
+            small = build_atlas([f"{d}/t.png"], collapse=True)
+        assert (full.width, full.height) == (32, 32)
+        assert (small.width, small.height) == (8, 8)
+        u = jnp.asarray(rng.random(256), jnp.float32)
+        v = jnp.asarray(rng.random(256), jnp.float32)
+        mat = jnp.zeros(256, jnp.int32)
+        a = atlas_fetch(full, mat, u, v)
+        b = atlas_fetch(small, mat, u, v)
+        np.testing.assert_array_equal(
+            np.asarray(a[0].to_array()), np.asarray(b[0].to_array())
+        )
+
     def test_size_mismatch_rejected(self):
         d1 = f"{REF}/mcworld_tiltedtex_water/tex"
         d2 = f"{REF}/pyramide_eau/tex"

@@ -170,8 +170,10 @@ def test_untextured_mesh_matches_scan():
 
 def test_dispatch_and_fallbacks():
     """Sphere-only scenes keep taking trace_spheres; small-atlas mesh
-    scenes take trace_scene; AO and big-atlas (grass_block's 1440x1920
-    texture exceeds the VMEM budget) scenes fall back to the scan."""
+    scenes take trace_scene; AO scenes fall back to the scan.
+    grass_block's 1440x1920 PNG is a nearest-upscale of a 48x64
+    pixel-art original, so the bit-exact atlas collapse (io/obj.py
+    collapse_factor) brings it inside the in-kernel texture bounds."""
     from raytpu.kernels import trace_spheres
     from raytpu.scenes import cornell_box
 
@@ -186,7 +188,8 @@ def test_dispatch_and_fallbacks():
     assert not supported(mesh_scene, cfg.replace(use_ao=True))
 
     big_tex, _, _ = load_scene("scenes/grass_block.toml")
-    assert not supported(big_tex, cfg)
+    assert supported(big_tex, cfg)
+    assert big_tex.atlas.width * big_tex.atlas.height <= 64 * 64
     # many-tile atlases fit the texture-row fetch bounds (mcworld: 176
     # texrows, 64 A-operand sublanes) and run in-kernel since round 2
     mc, _, _ = load_scene("scenes/mcworld_water.toml")
