@@ -70,24 +70,28 @@ from raytpu.kernels._common import BIG, LANE, pad_prims, pad_rows
 
 import os as _os
 
-# rays per grid step = rows*128. Measured on v5e (mcworld 320x240x32):
-# 8 rows -> 24.7 ns/ray-bounce, 16 -> 17.8, 32 -> 14.5, 64 -> 13.9,
-# 128 -> 15.8 — big tiles amortize the ~540ns taken-branch cost of the
-# per-chunk cull conds over more rays. But small scenes (pyramide, 5
-# tris) LOSE at big tiles (2.8 -> 5.5 ns): most rays die on the first
-# bounce and the whole-bounce dead-tile skip fires far more often for
-# small tiles. _pick_rows() dispatches on triangle count; the env var
-# overrides for probes.
+# rays per grid step = rows*128. Measured on v5e at the BASELINE bench
+# shapes (1000x750x64 / 1200x900x32), Grays/s by tile_rows:
+#   pyramide (5 tris, untextured):   8->0.46  16->0.59  32->0.69  64->0.70
+#   grass_block (12 tris, 48-wide):  8->0.33  16->0.40  32->0.44  64->0.40
+#   mcworld (606 tris, 16-wide):              32->0.10  64->0.10  128->OOM
+# Big tiles amortize the ~540ns taken-branch cost of the per-chunk cull
+# conds over more rays; the exception is WIDE atlases (grass_block's
+# collapsed 48x64), where the texture-row fetch materializes a
+# (4*atlas_w, tile_rows*128) MXU output per bounce — at 64 rows that
+# spills past what the compiler double-buffers, so 32 wins. 128 rows
+# exceeds the 16MB scoped-VMEM stack for 606-tri scenes (measured OOM).
+# The env var overrides for probes.
 ROWS_BIG = 64
-ROWS_SMALL = 8
-ROWS_POLICY_TRIS = 384   # >= this many triangles -> ROWS_BIG
+ROWS_WIDE_ATLAS = 32
+WIDE_ATLAS_W4 = 128      # 4*atlas_w above this -> ROWS_WIDE_ATLAS
 
 
-def _pick_rows(n_tris: int) -> int:
+def _pick_rows(n_tris: int, atlas_w4: int = 0) -> int:
     env = _os.environ.get("RAYTPU_MK_ROWS")
     if env:
         return int(env)
-    return ROWS_BIG if n_tris >= ROWS_POLICY_TRIS else ROWS_SMALL
+    return ROWS_WIDE_ATLAS if atlas_w4 > WIDE_ATLAS_W4 else ROWS_BIG
 
 
 # timing-only ablation knobs (comma list: ext,tex,tri,shade) — output is
@@ -154,7 +158,7 @@ def _kernel(
     inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
     *, n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
-    bright_boost, bright_threshold, n_draws, hsl_l, hsl_s,
+    bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tex_limbs,
 ):
     f0 = jnp.zeros(ox.shape, jnp.float32)
     f1 = jnp.ones(ox.shape, jnp.float32)
@@ -405,30 +409,49 @@ def _kernel(
             ).reshape(1, n)
             flat_x = tex_x.reshape(1, n)
             r_pad = atlas_ref.shape[1]
-            w4p = atlas_ref.shape[0] // 3               # rows per limb
+            w4p = atlas_ref.shape[0] // tex_limbs       # rows per limb
 
             def tex_fetch(_):
                 sub = jax.lax.broadcasted_iota(jnp.int32, (r_pad, n), 0)
                 onehot = (sub == texrow).astype(jnp.bfloat16)
-                # the atlas operand is 3 stacked bf16 limbs (pack_scene);
-                # one default-precision matmul + a 3-slab sum is exact
-                # for a one-hot contraction (same argument as the winner
-                # extraction above)
+                # u8-exact atlases (tex_limbs == 1) carry integer texel
+                # codes 0..255, exactly representable in bf16, so ONE
+                # default-precision matmul selects them exactly and the
+                # codes are rescaled by f32(1/255) after extraction —
+                # the identical op the loader applied, hence bit-exact
+                # (io/image.py quantization convention). General f32
+                # atlases use 3 stacked bf16 limbs (pack_scene); the
+                # matmul + 3-slab sum is exact for a one-hot contraction
+                # (same argument as the winner extraction above).
                 out3 = jnp.dot(
                     atlas_ref[:, :], onehot,
                     preferred_element_type=jnp.float32,
-                )                                       # (3*w4p, n)
-                out = (out3[:w4p] + out3[w4p : 2 * w4p]) + out3[2 * w4p :]
+                )                                       # (limbs*w4p, n)
+                if tex_limbs == 1:
+                    out = out3
+                else:
+                    out = (out3[:w4p] + out3[w4p : 2 * w4p]) + out3[2 * w4p :]
                 xsub = jax.lax.broadcasted_iota(jnp.int32, (w4p, n), 0)
                 mask = (xsub % atlas_w == flat_x).astype(jnp.float32)
                 prod = out * mask
-                chans = []
-                for c in range(4):                      # r g b a
-                    a = prod[c * atlas_w : c * atlas_w + 1]
-                    for k in range(1, atlas_w):
-                        a = a + prod[c * atlas_w + k : c * atlas_w + k + 1]
-                    chans.append(a.reshape(ox.shape))
-                return tuple(chans)
+                # per-channel x-reduce as ONE tiny MXU contraction
+                # against a constant (8, w4p) channel selector — the
+                # unrolled alternative (4*atlas_w single-sublane
+                # slice-adds) halves grass_block's whole-kernel
+                # throughput at atlas_w=48
+                crow = jax.lax.broadcasted_iota(jnp.int32, (8, w4p), 0)
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (8, w4p), 1)
+                sel = (
+                    (cidx // atlas_w == crow) & (cidx < 4 * atlas_w)
+                ).astype(jnp.float32)
+                chan4 = jnp.dot(
+                    sel, prod, preferred_element_type=jnp.float32
+                )                                        # (8, n)
+                if tex_limbs == 1:
+                    chan4 = chan4 * jnp.float32(1.0 / 255.0)
+                return tuple(
+                    chan4[c : c + 1].reshape(ox.shape) for c in range(4)
+                )
 
             # unconditional for the same reason as the winner extraction:
             # the skip branch would cost more than the fetch
@@ -631,7 +654,7 @@ def _kernel(
         "atlas_w", "atlas_h", "bounces", "sphere_eps", "det_eps",
         "tri_eps", "alpha_lo", "alpha_hi", "bright_boost",
         "bright_threshold", "n_draws", "hsl_l", "hsl_s", "tile_rows",
-        "interpret",
+        "tex_limbs", "interpret",
     ),
 )
 def _trace_call(
@@ -639,7 +662,7 @@ def _trace_call(
     *, n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tile_rows,
-    interpret,
+    tex_limbs, interpret,
 ):
     rows = ox.shape[0]
     grid = (rows // tile_rows,)
@@ -665,7 +688,7 @@ def _trace_call(
         sphere_eps=sphere_eps, det_eps=det_eps, tri_eps=tri_eps,
         alpha_lo=alpha_lo, alpha_hi=alpha_hi, bright_boost=bright_boost,
         bright_threshold=bright_threshold, n_draws=n_draws,
-        hsl_l=hsl_l, hsl_s=hsl_s,
+        hsl_l=hsl_l, hsl_s=hsl_s, tex_limbs=tex_limbs,
     )
     return pl.pallas_call(
         kernel,
@@ -798,7 +821,14 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
             a = a.at[ch * w : (ch + 1) * w, :n_rows].set(
                 chan.reshape(n_rows, w).T
             )
-        atlas = _limb3(a, pad_to=3 * w4_pad)
+        if scene.atlas.packed is not None:
+            # u8-exact atlas (TextureAtlas.packed): ship integer texel
+            # codes 0..255 — exactly representable in a SINGLE bf16
+            # limb (8 mantissa bits); the kernel rescales by f32(1/255)
+            # after extraction. A third of the fetch MACs + VMEM.
+            atlas = jnp.round(a * 255.0).astype(jnp.bfloat16)
+        else:
+            atlas = _limb3(a, pad_to=3 * w4_pad)
     else:
         atlas = jnp.zeros((24, LANE), jnp.bfloat16)
 
@@ -815,7 +845,10 @@ def trace_mesh_megakernel(
 ) -> tuple[Vec3, Vec3, Vec3]:
     """Drop-in for integrator.path.trace on supported mesh scenes."""
     b = origin.x.shape[0]
-    tile_rows = _pick_rows(scene.triangles.count)
+    has_tex = scene.atlas.alpha.shape[0] > 0
+    tile_rows = _pick_rows(
+        scene.triangles.count, 4 * scene.atlas.width if has_tex else 0
+    )
     rows = max(-(-b // LANE), tile_rows)
     rows = -(-rows // tile_rows) * tile_rows
 
@@ -844,7 +877,9 @@ def trace_mesh_megakernel(
         bright_boost=cfg.bright_boost,
         bright_threshold=cfg.bright_threshold,
         n_draws=nd, hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
-        tile_rows=tile_rows, interpret=interpret,
+        tile_rows=tile_rows,
+        tex_limbs=1 if scene.atlas.packed is not None else 3,
+        interpret=interpret,
     )
     flat = [o.reshape(-1)[:b] for o in out]
     return (
