@@ -34,12 +34,15 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytpu.core.types import RenderConfig, Scene
+from raytpu.core.types import Materials, RenderConfig, Scene, Spheres
 from raytpu.core.vec3 import Vec3
 
 LANE = 128
 ROWS = 16           # rays per grid step = 2048; larger tiles spill registers
                     # ~24 live per-ray planes in registers
+BWD_ROWS = 8        # backward kernel: AD keeps every bounce's
+                    # intermediates live for the reverse sweep (~6x the
+                    # forward's footprint), so tiles are half-sized
 BIG = 3.0e38
 
 
@@ -48,20 +51,26 @@ def _pad_rows(x: Array, rows: int) -> Array:
     return jnp.pad(x, (0, pad)).reshape(rows, LANE)
 
 
-def _kernel(
-    sph_ref,      # SMEM (14, S_pad): cx cy cz r | dif3 emi3 estr refl alpha ior
-    ox, oy, oz, dx, dy, dz,          # VMEM (ROWS, LANE) ray tiles
-    draws_ref,                        # VMEM (BN*3, ROWS, LANE)
-    inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
+def _forward_body(
+    sv,                               # ((S,)*14 scalars): sphere/material table
+    rox, roy, roz, rdx, rdy, rdz,     # (ROWS, LANE) ray tiles
+    draws,                            # list of BN*n_draws (ROWS, LANE) tiles
     *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
     ao_intensity, ao_emission_factor, hsl_l, hsl_s,
 ):
-    f0 = jnp.zeros(ox.shape, jnp.float32)
-    f1 = jnp.ones(ox.shape, jnp.float32)
+    """The whole bounce loop as a PURE function of traced values.
 
-    rox, roy, roz = ox[:], oy[:], oz[:]
-    rdx, rdy, rdz = dx[:], dy[:], dz[:]
+    Shared by the forward kernel (which writes its outputs) and the
+    backward kernel (which calls ``jax.vjp`` on it *inside* the kernel,
+    so the reverse sweep is machine-derived from the same code that
+    defines the forward — and both stay fused in VMEM). ``sv`` is a
+    tuple of 14 rows x n_spheres scalar values (the SMEM table read
+    out), kept as scalars so the VJP yields per-parameter scalar
+    cotangents reduced over the ray tile by AD itself.
+    """
+    f0 = jnp.zeros(rox.shape, jnp.float32)
+    f1 = jnp.ones(rox.shape, jnp.float32)
 
     rcx, rcy, rcz = f1, f1, f1            # throughput (rayColor)
     ix, iy, iz = f0, f0, f0               # incoming radiance
@@ -71,7 +80,7 @@ def _kernel(
     # carried masks live as f32 0/1 and comparisons produce local bools
     active_f = f1
     is_alpha_f = f0
-    alpha_depth = jnp.zeros(ox.shape, jnp.int32)
+    alpha_depth = jnp.zeros(rox.shape, jnp.int32)
     medium_n2 = f1
 
     for i in range(bounces):              # static unroll
@@ -80,17 +89,18 @@ def _kernel(
         # ---- closest sphere (main.c:52-92) --------------------------
         a_quad = rdx * rdx + rdy * rdy + rdz * rdz
         inv_2a = 0.5 / jnp.maximum(a_quad, 1e-20)
-        best = jnp.full(ox.shape, BIG, jnp.float32)
-        bidx = jnp.full(ox.shape, -1, jnp.int32)
+        best = jnp.full(rox.shape, BIG, jnp.float32)
+        bidx = jnp.full(rox.shape, -1, jnp.int32)
         for s in range(n_spheres):        # static unroll (S ~ 10)
-            cx, cy, cz, r = (
-                sph_ref[0, s], sph_ref[1, s], sph_ref[2, s], sph_ref[3, s]
-            )
+            cx, cy, cz, r = sv[0][s], sv[1][s], sv[2][s], sv[3][s]
             ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
             b_ = 2.0 * (ocx * rdx + ocy * rdy + ocz * rdz)
             c_ = ocx * ocx + ocy * ocy + ocz * ocz - r * r
             disc = b_ * b_ - 4.0 * a_quad * c_
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            # 1e-30 floor (not 0.0): at disc <= 0 the sqrt cotangent is
+            # inf and inf * (d max/d disc = 0) NaN-poisons every sphere
+            # gradient; the floor matches geometry/sphere.py:43 exactly
+            sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
             t1 = (-b_ - sq) * inv_2a
             t2 = (-b_ + sq) * inv_2a
             hit_s = disc > 0.0
@@ -113,7 +123,7 @@ def _kernel(
         for s in range(n_spheres):
             m = bidx == s
             for k in range(14):
-                ch[k] = jnp.where(m, sph_ref[k, s], ch[k])
+                ch[k] = jnp.where(m, sv[k][s], ch[k])
         (cx, cy, cz, r, dfx, dfy, dfz, emx, emy, emz,
          estr, refl, alpha, ior) = ch
 
@@ -170,9 +180,9 @@ def _kernel(
         live = active & did_hit
 
         # ---- scatter (main.c:162-165) -------------------------------
-        u_d = draws_ref[n_draws * i + 0]
-        v_d = draws_ref[n_draws * i + 1]
-        roulette = draws_ref[n_draws * i + 2]
+        u_d = draws[n_draws * i + 0]
+        v_d = draws[n_draws * i + 1]
+        roulette = draws[n_draws * i + 2]
         theta = (2.0 * jnp.float32(jnp.pi)) * u_d
         cph = jnp.clip(2.0 * v_d - 1.0, -1.0, 1.0)
         sph_ = jnp.sqrt(jnp.maximum(1.0 - cph * cph, 0.0))
@@ -260,8 +270,8 @@ def _kernel(
             # from the hit point; occlusion = hits / (samples*intensity)
             occ = f0
             for s_i in range(ao_samples):
-                au = draws_ref[n_draws * i + 3 + 2 * s_i]
-                av = draws_ref[n_draws * i + 4 + 2 * s_i]
+                au = draws[n_draws * i + 3 + 2 * s_i]
+                av = draws[n_draws * i + 4 + 2 * s_i]
                 ath = (2.0 * jnp.float32(jnp.pi)) * au
                 acp = jnp.clip(2.0 * av - 1.0, -1.0, 1.0)
                 asp = jnp.sqrt(jnp.maximum(1.0 - acp * acp, 0.0))
@@ -278,14 +288,13 @@ def _kernel(
                 occ_hit = f0 > 1.0
                 for s2 in range(n_spheres):
                     scx, scy, scz, sr = (
-                        sph_ref[0, s2], sph_ref[1, s2],
-                        sph_ref[2, s2], sph_ref[3, s2],
+                        sv[0][s2], sv[1][s2], sv[2][s2], sv[3][s2]
                     )
                     ocx2, ocy2, ocz2 = px - scx, py - scy, pz - scz
                     b2 = 2.0 * (ocx2 * aox_ + ocy2 * aoy_ + ocz2 * aoz_)
                     c2 = ocx2 * ocx2 + ocy2 * ocy2 + ocz2 * ocz2 - sr * sr
                     d2 = b2 * b2 - 4.0 * aq * c2
-                    sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+                    sq2 = jnp.sqrt(jnp.maximum(d2, 1e-30))
                     tt1 = (-b2 - sq2) * ai2a
                     tt2 = (-b2 + sq2) * ai2a
                     h2 = d2 > 0.0
@@ -303,15 +312,90 @@ def _kernel(
 
         active_f = jnp.where(active & did_hit, f1, f0)
 
-    inc_x[:] = ix
-    inc_y[:] = iy
-    inc_z[:] = iz
-    alb_x[:] = ax_
-    alb_y[:] = ay_
-    alb_z[:] = az_
-    nrm_x[:] = nx_
-    nrm_y[:] = ny_
-    nrm_z[:] = nz_
+    return ix, iy, iz, ax_, ay_, az_, nx_, ny_, nz_
+
+
+def _read_table(sph_ref, n_spheres):
+    return tuple(
+        tuple(sph_ref[k, s] for s in range(n_spheres)) for k in range(14)
+    )
+
+
+def _kernel(
+    sph_ref,      # SMEM (14, S_pad): cx cy cz r | dif3 emi3 estr refl alpha ior
+    ox, oy, oz, dx, dy, dz,          # VMEM (ROWS, LANE) ray tiles
+    draws_ref,                        # VMEM (BN*n_draws, ROWS, LANE)
+    inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
+    *, n_spheres, bounces, n_draws, **statics,
+):
+    sv = _read_table(sph_ref, n_spheres)
+    draws = [draws_ref[j] for j in range(bounces * n_draws)]
+    outs = _forward_body(
+        sv, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], draws,
+        n_spheres=n_spheres, bounces=bounces, n_draws=n_draws, **statics,
+    )
+    for ref, val in zip(
+        (inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z),
+        outs,
+    ):
+        ref[:] = val
+
+
+def _bwd_kernel(
+    sph_ref,
+    ox, oy, oz, dx, dy, dz,
+    draws_ref,
+    g_refs_0, g_refs_1, g_refs_2, g_refs_3, g_refs_4,
+    g_refs_5, g_refs_6, g_refs_7, g_refs_8,   # cotangents of the 9 outputs
+    d_sph,                                     # SMEM (14, S_pad) accumulator
+    d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,        # ray cotangent tiles
+    d_draws,                                   # (BN*n_draws, ROWS, LANE)
+    *, n_spheres, bounces, n_draws, **statics,
+):
+    """Backward megakernel: replay the forward *inside* the kernel and
+    run the machine-derived reverse sweep (``jax.vjp`` of
+    ``_forward_body``), entirely in VMEM. Sphere-table cotangents are
+    scalars (AD inserts the over-tile reductions) accumulated across
+    sequential grid steps in SMEM; ray/draw cotangents are per-tile
+    outputs feeding the camera/RNG pullbacks outside the kernel.
+
+    This replaces the scan-path pullback for sphere scenes
+    (integrator/render.py previously recomputed each sample through the
+    XLA scan during backward) — the BASELINE fwd+bwd metric's long pole.
+    """
+    sv = _read_table(sph_ref, n_spheres)
+    draws = [draws_ref[j] for j in range(bounces * n_draws)]
+
+    def f(sv, rox, roy, roz, rdx, rdy, rdz, draws):
+        return _forward_body(
+            sv, rox, roy, roz, rdx, rdy, rdz, draws,
+            n_spheres=n_spheres, bounces=bounces, n_draws=n_draws,
+            **statics,
+        )
+
+    _, vjp_fn = jax.vjp(
+        f, sv, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], draws
+    )
+    g = (
+        g_refs_0[:], g_refs_1[:], g_refs_2[:], g_refs_3[:], g_refs_4[:],
+        g_refs_5[:], g_refs_6[:], g_refs_7[:], g_refs_8[:],
+    )
+    dsv, gox, goy, goz, gdx, gdy, gdz, gdraws = vjp_fn(g)
+
+    d_ox[:] = gox
+    d_oy[:] = goy
+    d_oz[:] = goz
+    d_dx[:] = gdx
+    d_dy[:] = gdy
+    d_dz[:] = gdz
+    for j in range(bounces * n_draws):
+        d_draws[j] = gdraws[j]
+
+    first = pl.program_id(0) == 0
+    for k in range(14):
+        for s in range(n_spheres):
+            prev = jnp.where(first, 0.0, d_sph[k, s])
+            d_sph[k, s] = prev + dsv[k][s]
 
 
 @functools.partial(
@@ -361,6 +445,61 @@ def _trace_call(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_spheres", "bounces", "sphere_eps", "alpha_lo", "alpha_hi",
+        "bright_boost", "bright_threshold", "n_draws", "use_ao",
+        "ao_samples", "ao_intensity", "ao_emission_factor",
+        "hsl_l", "hsl_s", "interpret",
+    ),
+)
+def _bwd_call(
+    sph, ox, oy, oz, dx, dy, dz, draws, g9,
+    *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
+    bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
+    ao_intensity, ao_emission_factor, hsl_l, hsl_s, interpret,
+):
+    rows = ox.shape[0]
+    grid = (rows // BWD_ROWS,)
+    ray_spec = pl.BlockSpec(
+        (BWD_ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    draws_spec = pl.BlockSpec(
+        (draws.shape[0], BWD_ROWS, LANE),
+        lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # d_sph: one (14, S_pad) SMEM block revisited by every grid step —
+    # sequential TPU grids make the += accumulation race-free
+    dsph_spec = pl.BlockSpec(
+        sph.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    kernel = functools.partial(
+        _bwd_kernel,
+        n_spheres=n_spheres, bounces=bounces, sphere_eps=sphere_eps,
+        alpha_lo=alpha_lo, alpha_hi=alpha_hi,
+        bright_boost=bright_boost, bright_threshold=bright_threshold,
+        n_draws=n_draws, use_ao=use_ao, ao_samples=ao_samples,
+        ao_intensity=ao_intensity, ao_emission_factor=ao_emission_factor,
+        hsl_l=hsl_l, hsl_s=hsl_s,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [ray_spec] * 6
+        + [draws_spec]
+        + [ray_spec] * 9,
+        out_specs=[dsph_spec] + [ray_spec] * 6 + [draws_spec],
+        out_shape=[jax.ShapeDtypeStruct(sph.shape, jnp.float32)]
+        + [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct(draws.shape, jnp.float32)],
+        interpret=interpret,
+    )(sph, ox, oy, oz, dx, dy, dz, draws, *g9)
+    return out
+
+
 def supported(scene: Scene, cfg: RenderConfig) -> bool:
     """The megakernel covers every sphere-scene configuration (AO, DoF,
     HSL boost, refraction, cutout) up to 64 spheres; textured-sky and
@@ -372,18 +511,16 @@ def supported(scene: Scene, cfg: RenderConfig) -> bool:
     )
 
 
-def trace_megakernel(
-    scene: Scene,
-    cfg: RenderConfig,
-    origin: Vec3,
-    direction: Vec3,
-    bounce_draws: Array,
-    interpret: bool = False,
-) -> tuple[Vec3, Vec3, Vec3]:
-    """Drop-in for integrator.path.trace on supported configurations."""
+# the sphere megakernel carries its own hand-structured backward kernel;
+# render() may differentiate straight through it (no scan recompute)
+HAS_VJP = True
+
+
+def _pack_inputs(scene: Scene, origin: Vec3, direction: Vec3,
+                 bounce_draws: Array, rows_mult: int):
     b = origin.x.shape[0]
-    rows = max(-(-b // LANE), ROWS)
-    rows = -(-rows // ROWS) * ROWS
+    rows = max(-(-b // LANE), rows_mult)
+    rows = -(-rows // rows_mult) * rows_mult
 
     ox, oy, oz = (_pad_rows(c, rows) for c in origin)
     dx, dy, dz = (_pad_rows(c, rows) for c in direction)
@@ -410,11 +547,12 @@ def trace_megakernel(
     draws = jnp.pad(draws, ((0, 0), (0, rows * LANE - b))).reshape(
         bn * nd, rows, LANE
     )
+    return sph, ox, oy, oz, dx, dy, dz, draws, nd
 
-    out = _trace_call(
-        sph, ox, oy, oz, dx, dy, dz, draws,
-        n_spheres=n_s, bounces=cfg.max_bounces,
-        sphere_eps=cfg.sphere_eps,
+
+def _statics(cfg: RenderConfig, nd: int) -> dict:
+    return dict(
+        bounces=cfg.max_bounces, sphere_eps=cfg.sphere_eps,
         alpha_lo=cfg.refr_alpha_lo, alpha_hi=cfg.refr_alpha_hi,
         bright_boost=cfg.bright_boost,
         bright_threshold=cfg.bright_threshold,
@@ -422,7 +560,40 @@ def trace_megakernel(
         ao_intensity=cfg.ao_intensity,
         ao_emission_factor=cfg.ao_emission_factor,
         hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
-        interpret=interpret,
+    )
+
+
+def trace_megakernel(
+    scene: Scene,
+    cfg: RenderConfig,
+    origin: Vec3,
+    direction: Vec3,
+    bounce_draws: Array,
+    interpret: bool = False,
+) -> tuple[Vec3, Vec3, Vec3]:
+    """Drop-in for integrator.path.trace on supported configurations.
+
+    Differentiable: ``jax.grad`` through this call runs the hand-
+    structured backward megakernel (``_bwd_kernel``) instead of
+    rematerializing the sample through the XLA scan path.
+    """
+    return _mk_vjp(scene, cfg, origin, direction, bounce_draws, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+def _mk_vjp(scene, cfg, origin, direction, bounce_draws, interpret):
+    return _mk_forward(scene, cfg, origin, direction, bounce_draws, interpret)
+
+
+def _mk_forward(scene, cfg, origin, direction, bounce_draws, interpret):
+    b = origin.x.shape[0]
+    sph, ox, oy, oz, dx, dy, dz, draws, nd = _pack_inputs(
+        scene, origin, direction, bounce_draws, ROWS
+    )
+    out = _trace_call(
+        sph, ox, oy, oz, dx, dy, dz, draws,
+        n_spheres=scene.spheres.count, interpret=interpret,
+        **_statics(cfg, nd),
     )
     flat = [o.reshape(-1)[:b] for o in out]
     return (
@@ -430,3 +601,64 @@ def trace_megakernel(
         Vec3(flat[3], flat[4], flat[5]),
         Vec3(flat[6], flat[7], flat[8]),
     )
+
+
+def _mk_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
+    out = _mk_forward(scene, cfg, origin, direction, bounce_draws, interpret)
+    return out, (scene, origin, direction, bounce_draws)
+
+
+def _zero_cot(x):
+    """Cotangent for an undifferentiated leaf: zeros for inexact dtypes,
+    float0 (the symbolic-zero tangent dtype custom_vjp expects) for
+    int/bool leaves."""
+    import numpy as np
+
+    if jnp.issubdtype(jnp.result_type(x), jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
+def _mk_bwd(cfg, interpret, res, g):
+    scene, origin, direction, bounce_draws = res
+    b = origin.x.shape[0]
+    n_s = scene.spheres.count
+    bn, nd = bounce_draws.shape[0], bounce_draws.shape[1]
+
+    sph, ox, oy, oz, dx, dy, dz, draws, nd = _pack_inputs(
+        scene, origin, direction, bounce_draws, BWD_ROWS
+    )
+    rows = ox.shape[0]
+    g9 = [
+        _pad_rows(c, rows)
+        for vec in g for c in (vec.x, vec.y, vec.z)
+    ]
+    out = _bwd_call(
+        sph, ox, oy, oz, dx, dy, dz, draws, g9,
+        n_spheres=n_s, interpret=interpret, **_statics(cfg, nd),
+    )
+    d_sph = out[0]
+    d_rays = [o.reshape(-1)[:b] for o in out[1:7]]
+    d_draws = out[7].reshape(bn * nd, -1)[:, :b].reshape(bn, nd, b)
+
+    row = lambda k: d_sph[k, :n_s]
+    d_mat = Materials(
+        diffuse=Vec3(row(4), row(5), row(6)),
+        emission=Vec3(row(7), row(8), row(9)),
+        emission_strength=row(10), reflection=row(11),
+        alpha=row(12), ior=row(13),
+    )
+    d_spheres = Spheres(
+        center=Vec3(row(0), row(1), row(2)), radius=row(3), mat=d_mat
+    )
+    d_scene = jax.tree_util.tree_map(_zero_cot, scene)
+    d_scene = d_scene.replace(spheres=d_spheres)
+    return (
+        d_scene,
+        Vec3(d_rays[0], d_rays[1], d_rays[2]),
+        Vec3(d_rays[3], d_rays[4], d_rays[5]),
+        d_draws,
+    )
+
+
+_mk_vjp.defvjp(_mk_fwd, _mk_bwd)

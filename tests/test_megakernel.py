@@ -132,10 +132,11 @@ def test_megakernel_sharded_matches_single_device():
     )
 
 
-def test_megakernel_grad_takes_scan_backward():
-    """use_megakernel under jax.grad must not crash (pallas_call has no
-    VJP); the custom VJP recomputes via the scan path, so gradients
-    equal the scan configuration's."""
+def test_megakernel_grad_matches_scan():
+    """jax.grad through use_megakernel runs the hand-structured backward
+    megakernel (kernels/trace_spheres._bwd_kernel — jax.vjp of the shared
+    bounce-loop body, fused in VMEM); its sphere-parameter cotangents
+    must equal the scan configuration's gradients."""
     from raytpu.train import combine_scene, partition_scene
 
     scene, cam, _ = cornell_box()
@@ -168,3 +169,38 @@ def test_megakernel_grad_takes_scan_backward():
         np.asarray(g_scan.spheres.mat.diffuse.x),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_megakernel_camera_grads_match_scan():
+    """Camera-pose gradients flow through the backward kernel's RAY
+    cotangent outputs (d_origin/d_direction feed get_rays' pullback) —
+    not just the sphere-table cotangents the previous test covers.
+
+    The loss targets the first-hit NORMAL AOV: radiance is piecewise
+    constant in ray geometry by design (winner selection runs under
+    stop_gradient, emission/diffuse products carry no dst dependence —
+    the documented silhouette-bias estimator, train/inverse.py), so a
+    radiance loss has identically-zero camera gradients on BOTH paths.
+    The normal = (point - center)/radius depends smoothly on the ray, so
+    it exercises the d_origin/d_direction outputs for real."""
+    scene, cam, _ = cornell_box()
+    cfg = RenderConfig(
+        width=8, height=6, spp=2, max_bounces=3,
+        use_megakernel=True, pallas_interpret=True,
+    )
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(47)
+
+    def loss(cam, c):
+        sums = render(scene, cam, c, pids, key)
+        return jnp.mean(sums.normal.to_array() * jnp.arange(3.0))
+
+    g_mk = jax.grad(loss)(cam, cfg)
+    g_scan = jax.grad(loss)(cam, cfg.replace(use_megakernel=False))
+    fk, _ = jax.tree_util.tree_flatten(g_mk)
+    fs, _ = jax.tree_util.tree_flatten(g_scan)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in fs)
+    for a, b in zip(fk, fs):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
