@@ -90,10 +90,19 @@ def measure_fwd(scene, cam, cfg, mesh=None):
     key = jax.random.PRNGKey(0)
 
     _sync(fn(scene, cam, pixel_ids, key).radiance.x)  # compile + warm
+    # small configs (cfg1 is ~40ms of device work) are noise-dominated
+    # by dispatch + tunnel sync if timed once: repeat until >=1s measured
     t0 = time.perf_counter()
     out = fn(scene, cam, pixel_ids, key)
     _sync(out.radiance.x)
     elapsed = time.perf_counter() - t0
+    reps = max(0, int(1.0 / max(elapsed, 1e-3)))
+    if reps:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(scene, cam, pixel_ids, key)
+            _sync(out.radiance.x)
+        elapsed = (time.perf_counter() - t0) / reps
 
     # sanity: the render must be a real image, not NaN/zero garbage
     mean = float(np.asarray(out.radiance.x, np.float64).mean()) / cfg.spp
@@ -127,11 +136,24 @@ def measure_fwd_bwd(scene, cam, cfg):
     vg = jax.jit(jax.value_and_grad(loss_fn))
     loss, grads = vg(params)  # compile + warm
     _sync(loss)
-    t0 = time.perf_counter()
-    loss, grads = vg(params)
-    _sync(loss)
-    _sync(grads.spheres.center.x if scene.spheres.count else grads.triangles.a.x)
-    elapsed = time.perf_counter() - t0
+
+    def timed():
+        t0 = time.perf_counter()
+        loss, grads = vg(params)
+        _sync(loss)
+        _sync(
+            grads.spheres.center.x if scene.spheres.count
+            else grads.triangles.a.x
+        )
+        return time.perf_counter() - t0, loss
+
+    elapsed, loss = timed()
+    reps = max(0, int(1.0 / max(elapsed, 1e-3)))
+    if reps:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, loss = timed()
+        elapsed = (time.perf_counter() - t0) / reps
     assert np.isfinite(float(loss))
     return cfg.n_pixels * cfg.spp * cfg.max_bounces / elapsed
 

@@ -42,7 +42,9 @@ ROWS = 16           # rays per grid step = 2048; larger tiles spill registers
                     # ~24 live per-ray planes in registers
 BWD_ROWS = 8        # backward kernel: AD keeps every bounce's
                     # intermediates live for the reverse sweep (~6x the
-                    # forward's footprint), so tiles are half-sized
+                    # forward's footprint); 16 measures the same at 6
+                    # bounces (313 vs 314 Mrays/s) but 8 leaves headroom
+                    # for deep-bounce configs (19-bounce refraction)
 BIG = 3.0e38
 
 
@@ -349,15 +351,22 @@ def _bwd_kernel(
     g_refs_5, g_refs_6, g_refs_7, g_refs_8,   # cotangents of the 9 outputs
     d_sph,                                     # SMEM (14, S_pad) accumulator
     d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,        # ray cotangent tiles
-    d_draws,                                   # (BN*n_draws, ROWS, LANE)
     *, n_spheres, bounces, n_draws, **statics,
 ):
     """Backward megakernel: replay the forward *inside* the kernel and
     run the machine-derived reverse sweep (``jax.vjp`` of
     ``_forward_body``), entirely in VMEM. Sphere-table cotangents are
     scalars (AD inserts the over-tile reductions) accumulated across
-    sequential grid steps in SMEM; ray/draw cotangents are per-tile
-    outputs feeding the camera/RNG pullbacks outside the kernel.
+    sequential grid steps in SMEM; ray cotangents are per-tile outputs
+    feeding the camera pullback outside the kernel.
+
+    DRAW cotangents are not computed: every use of a draw ends in a
+    stop_gradient'd winner selection or a discrete comparison (roulette
+    thresholds), so the scan path's d_draws are IDENTICALLY zero
+    (verified numerically on diffuse/AO/refraction/cutout scenes) — the
+    wrapper returns explicit zeros, and the kernel closes over draws as
+    constants, skipping ~bounces*3 cotangent tile writes and their AD
+    chains.
 
     This replaces the scan-path pullback for sphere scenes
     (integrator/render.py previously recomputed each sample through the
@@ -366,7 +375,7 @@ def _bwd_kernel(
     sv = _read_table(sph_ref, n_spheres)
     draws = [draws_ref[j] for j in range(bounces * n_draws)]
 
-    def f(sv, rox, roy, roz, rdx, rdy, rdz, draws):
+    def f(sv, rox, roy, roz, rdx, rdy, rdz):
         return _forward_body(
             sv, rox, roy, roz, rdx, rdy, rdz, draws,
             n_spheres=n_spheres, bounces=bounces, n_draws=n_draws,
@@ -374,13 +383,13 @@ def _bwd_kernel(
         )
 
     _, vjp_fn = jax.vjp(
-        f, sv, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], draws
+        f, sv, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:]
     )
     g = (
         g_refs_0[:], g_refs_1[:], g_refs_2[:], g_refs_3[:], g_refs_4[:],
         g_refs_5[:], g_refs_6[:], g_refs_7[:], g_refs_8[:],
     )
-    dsv, gox, goy, goz, gdx, gdy, gdz, gdraws = vjp_fn(g)
+    dsv, gox, goy, goz, gdx, gdy, gdz = vjp_fn(g)
 
     d_ox[:] = gox
     d_oy[:] = goy
@@ -388,8 +397,6 @@ def _bwd_kernel(
     d_dx[:] = gdx
     d_dy[:] = gdy
     d_dz[:] = gdz
-    for j in range(bounces * n_draws):
-        d_draws[j] = gdraws[j]
 
     first = pl.program_id(0) == 0
     for k in range(14):
@@ -491,10 +498,9 @@ def _bwd_call(
         + [ray_spec] * 6
         + [draws_spec]
         + [ray_spec] * 9,
-        out_specs=[dsph_spec] + [ray_spec] * 6 + [draws_spec],
+        out_specs=[dsph_spec] + [ray_spec] * 6,
         out_shape=[jax.ShapeDtypeStruct(sph.shape, jnp.float32)]
-        + [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 6
-        + [jax.ShapeDtypeStruct(draws.shape, jnp.float32)],
+        + [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 6,
         interpret=interpret,
     )(sph, ox, oy, oz, dx, dy, dz, draws, *g9)
     return out
@@ -623,7 +629,6 @@ def _mk_bwd(cfg, interpret, res, g):
     scene, origin, direction, bounce_draws = res
     b = origin.x.shape[0]
     n_s = scene.spheres.count
-    bn, nd = bounce_draws.shape[0], bounce_draws.shape[1]
 
     sph, ox, oy, oz, dx, dy, dz, draws, nd = _pack_inputs(
         scene, origin, direction, bounce_draws, BWD_ROWS
@@ -639,7 +644,9 @@ def _mk_bwd(cfg, interpret, res, g):
     )
     d_sph = out[0]
     d_rays = [o.reshape(-1)[:b] for o in out[1:7]]
-    d_draws = out[7].reshape(bn * nd, -1)[:, :b].reshape(bn, nd, b)
+    # draw cotangents are structurally zero (see _bwd_kernel docstring);
+    # return explicit zeros instead of computing them in-kernel
+    d_draws = jnp.zeros_like(bounce_draws)
 
     row = lambda k: d_sph[k, :n_s]
     d_mat = Materials(
