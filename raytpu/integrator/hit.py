@@ -64,9 +64,17 @@ def closest_hit(
     direction: Vec3,
     cfg: RenderConfig,
     with_material: bool = True,
+    best_idx: Optional[Array] = None,
 ) -> Hit:
     """Vectorized closest_hit (main.c:52-92). ``geom`` is the precomputed
-    triangle bundle (pass None to compute on the fly)."""
+    triangle bundle (pass None to compute on the fly).
+
+    ``best_idx`` injects a precomputed winner per ray (-1 miss,
+    0..S-1 sphere, S.. triangle — the megakernel's bidx encoding) and
+    skips selection entirely, leaving only the differentiable winner
+    recompute + gathers. This is the megakernel-backward replay path
+    (kernels/trace_scene._mkm_bwd): selection is stop_gradient'd anyway,
+    so gradients through a replayed hit are op-for-op the scan path's."""
     b = origin.x.shape[0]
     n_spheres = scene.spheres.count
     n_tris = scene.triangles.count
@@ -84,10 +92,17 @@ def closest_hit(
     if n_tris > 0 and geom is None:
         geom = precompute(scene.triangles)
 
-    use_pallas = _resolve_use_pallas(scene, cfg)
+    use_pallas = best_idx is None and _resolve_use_pallas(scene, cfg)
     if use_pallas:
         from raytpu.kernels.intersect import pallas_select, pallas_supported
-    if use_pallas and pallas_supported(scene):
+    if best_idx is not None:
+        # winner injected (replay): decode the megakernel's bidx the same
+        # way as the fused selector's output below
+        found = best_idx >= 0
+        tri_wins = best_idx >= n_spheres
+        s_idx = jnp.where(tri_wins | ~found, 0, best_idx)
+        t_idx = jnp.where(tri_wins, best_idx - n_spheres, 0)
+    elif use_pallas and pallas_supported(scene):
         # fused VMEM-resident selection (raytpu.kernels.intersect)
         best_t, best_idx = pallas_select(
             jax.tree.map(sg, scene), jax.tree.map(sg, geom), o_sg, d_sg,

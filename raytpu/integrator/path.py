@@ -100,6 +100,7 @@ def trace(
     origin: Vec3,
     direction: Vec3,
     bounce_draws: Array,
+    bounce_idx: Optional[Array] = None,
 ) -> tuple[Vec3, Vec3, Vec3]:
     """Estimate (radiance, albedo AOV, normal AOV) for a batch of rays.
 
@@ -107,12 +108,23 @@ def trace(
     rng.ray_uniforms — pregenerated in one threefry batch per ray and fed
     to the scan as xs, so the consumption pattern matches the f64 oracle
     exactly.
+
+    bounce_idx: optional (max_bounces, B) int32 winner indices (the
+    megakernel's bidx encoding) — when given, each bounce's closest-hit
+    SELECTION is skipped and the hit is reconstructed differentiably from
+    the index (the megakernel-backward replay; see closest_hit).
     """
     geom = precompute(scene.triangles) if scene.triangles.count > 0 else None
 
     def bounce(state: TraceState, xs) -> tuple[TraceState, None]:
-        i, draws = xs  # draws: (n_draws, B)
-        hit = closest_hit(scene, geom, state.origin, state.direction, cfg)
+        if bounce_idx is None:
+            i, draws = xs  # draws: (n_draws, B)
+            bidx = None
+        else:
+            i, draws, bidx = xs
+        hit = closest_hit(
+            scene, geom, state.origin, state.direction, cfg, best_idx=bidx
+        )
         mat = hit.mat
         active = state.active
 
@@ -237,9 +249,11 @@ def trace(
         return new_state, None
 
     state0 = init_state(origin, direction)
-    final, _ = jax.lax.scan(
-        bounce,
-        state0,
-        (jnp.arange(cfg.max_bounces, dtype=jnp.int32), bounce_draws),
+    steps = jnp.arange(cfg.max_bounces, dtype=jnp.int32)
+    xs = (
+        (steps, bounce_draws)
+        if bounce_idx is None
+        else (steps, bounce_draws, bounce_idx)
     )
+    final, _ = jax.lax.scan(bounce, state0, xs)
     return final.incoming, final.albedo, final.normal_aov

@@ -98,13 +98,11 @@ def render(
     # scan is recomputed during its backward step (HBM-for-FLOPs trade,
     # SURVEY.md 'jax.checkpoint / rematerialisation').
     kernel_fn = None
-    kernel_has_vjp = False
     if cfg.use_megakernel:
         from raytpu.kernels import trace_scene, trace_spheres
 
         if trace_spheres.supported(scene, cfg):
             kernel_fn = trace_spheres.trace_megakernel
-            kernel_has_vjp = trace_spheres.HAS_VJP
         elif trace_scene.supported(scene, cfg):
             kernel_fn = trace_scene.trace_mesh_megakernel
 
@@ -120,13 +118,14 @@ def render(
         origin, direction = sample_rays(cam, cfg, pixel_ids, cam_draws)
         return trace(scene, cfg, origin, direction, bounce_draws)
 
-    if kernel_fn is not None and kernel_has_vjp:
-        # the sphere megakernel defines its own backward kernel
-        # (kernels/trace_spheres._bwd_kernel): grad flows straight
-        # through it. jax.checkpoint keeps the per-sample residuals
-        # down to (scene, cam, keys) — the kernel's inputs (rays,
-        # draws) are recomputed from the RNG during backward instead
-        # of being stored for every sample at once.
+    if kernel_fn is not None:
+        # both megakernels define their own backward (the sphere
+        # kernel's hand-structured backward Pallas kernel, the mesh
+        # kernel's index-replay VJP): grad flows straight through.
+        # jax.checkpoint keeps the per-sample residuals down to
+        # (scene, cam, keys) — the kernel's inputs (rays, draws) are
+        # recomputed from the RNG during backward instead of being
+        # stored for every sample at once.
         def mk_direct(scene, cam, pix_keys, pixel_ids, s):
             ray_keys = rng.sample_keys(pix_keys, s)
             cam_draws, bounce_draws = rng.ray_uniforms(
@@ -139,37 +138,6 @@ def render(
             )
 
         traced_sample = jax.checkpoint(mk_direct)
-    elif kernel_fn is not None:
-        # mesh megakernel forward + scan-path backward: this kernel has
-        # no VJP rule yet, so differentiating through it would fail at
-        # trace time. The custom VJP recomputes the sample via the scan
-        # integrator inside the pullback (their forward values agree —
-        # tests/test_mesh_megakernel.py), making use_megakernel safe
-        # under jax.grad at scan-path backward cost.
-        @jax.custom_vjp
-        def mk_sample(scene, cam, pix_keys, pixel_ids, s):
-            ray_keys = rng.sample_keys(pix_keys, s)
-            cam_draws, bounce_draws = rng.ray_uniforms(
-                ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
-            )
-            origin, direction = sample_rays(cam, cfg, pixel_ids, cam_draws)
-            return kernel_fn(
-                scene, cfg, origin, direction, bounce_draws,
-                interpret=cfg.pallas_interpret,
-            )
-
-        def _mk_fwd(scene, cam, pix_keys, pixel_ids, s):
-            return (
-                mk_sample(scene, cam, pix_keys, pixel_ids, s),
-                (scene, cam, pix_keys, pixel_ids, s),
-            )
-
-        def _mk_bwd(res, g):
-            _, pullback = jax.vjp(scan_sample, *res)
-            return pullback(g)
-
-        mk_sample.defvjp(_mk_fwd, _mk_bwd)
-        traced_sample = jax.checkpoint(mk_sample)
     else:
         traced_sample = jax.checkpoint(scan_sample)
 

@@ -139,6 +139,9 @@ def supported(scene: Scene, cfg: RenderConfig) -> bool:
         and scene.spheres.count <= 64
         and scene.sky_sphere_index < 0
         and not cfg.use_ao
+        # the in-kernel fetch is nearest-texel (texture.h:61-69); the
+        # bilinear differentiable-filtering mode takes the scan path
+        and not (n_tex > 0 and cfg.bilinear_textures)
         and scene.mat_table.emission_strength.shape[0] <= MAX_MATS
         and 4 * w <= MAX_TEX_W4
         and -(-n_tex // w) <= MAX_TEX_ROWS
@@ -156,9 +159,11 @@ def _kernel(
     ox, oy, oz, dx, dy, dz,           # VMEM (ROWS, LANE) ray tiles
     draws_ref,                         # VMEM (BN*3, ROWS, LANE)
     inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
-    *, n_spheres, n_tris, n_mats, has_atlas, atlas_w,
+    *idx_ref_opt,                      # with_indices: (BN, ROWS, LANE) i32
+    n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tex_limbs,
+    with_indices,
 ):
     f0 = jnp.zeros(ox.shape, jnp.float32)
     f1 = jnp.ones(ox.shape, jnp.float32)
@@ -286,6 +291,13 @@ def _kernel(
             best, bidx = jax.lax.fori_loop(
                 0, n_chunks, chunk_body, (best, bidx)
             )
+
+        if with_indices:
+            # winner indices for the backward replay (-1 = miss); rays
+            # whose bounce is over still record their would-be winner,
+            # but the replay gates every use on the recomputed active
+            # mask, so only the live lanes' indices matter
+            idx_ref_opt[0][i] = jnp.where(active, bidx, -1)
 
         # ---- winner extraction: one-hot MXU dot on the VMEM tri table.
         # Exact: single nonzero term per output, accumulated against
@@ -620,6 +632,11 @@ def _kernel(
                 ax_, ay_, az_, nx_, ny_, nz_,
                 active_f, is_alpha_f, alpha_depth, medium_n2)
 
+    def skip_body(i, carry):
+        if with_indices:
+            idx_ref_opt[0][i] = jnp.full(ox.shape, -1, jnp.int32)
+        return carry
+
     for i in range(bounces):              # static unroll
         if i == 0:
             carry = bounce_body(0, carry)
@@ -630,7 +647,7 @@ def _kernel(
             carry = jax.lax.cond(
                 jnp.any(carry[18] > 0.0),
                 functools.partial(bounce_body, i),
-                lambda c: c,
+                functools.partial(skip_body, i),
                 carry,
             )
 
@@ -654,7 +671,7 @@ def _kernel(
         "atlas_w", "atlas_h", "bounces", "sphere_eps", "det_eps",
         "tri_eps", "alpha_lo", "alpha_hi", "bright_boost",
         "bright_threshold", "n_draws", "hsl_l", "hsl_s", "tile_rows",
-        "tex_limbs", "interpret",
+        "tex_limbs", "with_indices", "interpret",
     ),
 )
 def _trace_call(
@@ -662,7 +679,7 @@ def _trace_call(
     *, n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tile_rows,
-    tex_limbs, interpret,
+    tex_limbs, with_indices, interpret,
 ):
     rows = ox.shape[0]
     grid = (rows // tile_rows,)
@@ -689,15 +706,26 @@ def _trace_call(
         alpha_lo=alpha_lo, alpha_hi=alpha_hi, bright_boost=bright_boost,
         bright_threshold=bright_threshold, n_draws=n_draws,
         hsl_l=hsl_l, hsl_s=hsl_s, tex_limbs=tex_limbs,
+        with_indices=with_indices,
     )
+    out_specs = [ray_spec] * 9
+    out_shape = [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 9
+    if with_indices:
+        out_specs.append(pl.BlockSpec(
+            (bounces, tile_rows, LANE), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.append(
+            jax.ShapeDtypeStruct((bounces, rows, LANE), jnp.int32)
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem, smem, trivm_spec, smem, smem, atlas_spec]
         + [ray_spec] * 6
         + [draws_spec],
-        out_specs=[ray_spec] * 9,
-        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 9,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(sph, tri, trivm, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws)
 
@@ -843,7 +871,68 @@ def trace_mesh_megakernel(
     bounce_draws: Array,
     interpret: bool = False,
 ) -> tuple[Vec3, Vec3, Vec3]:
-    """Drop-in for integrator.path.trace on supported mesh scenes."""
+    """Drop-in for integrator.path.trace on supported mesh scenes.
+
+    Differentiable: under ``jax.grad`` the forward kernel additionally
+    records each bounce's winner index, and the backward pass replays the
+    trace through the scan integrator with those indices injected
+    (integrator.path.trace(bounce_idx=...)) — the stop_gradient'd
+    SELECTION (distance matrices / argmin / Pallas selector, the
+    backward long pole at mesh scales) never runs again, while the
+    differentiable winner-recompute + gather + shading chain is
+    op-for-op the scan path's, so gradients are identical to
+    use_megakernel=False.
+    """
+    return _mkm_vjp(scene, cfg, origin, direction, bounce_draws, interpret)
+
+
+# the mesh megakernel carries an index-replay backward; render() may
+# differentiate straight through it (no full scan recompute)
+HAS_VJP = True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+def _mkm_vjp(scene, cfg, origin, direction, bounce_draws, interpret):
+    out, _ = _mkm_forward(
+        scene, cfg, origin, direction, bounce_draws, interpret,
+        with_indices=False,
+    )
+    return out
+
+
+def _mkm_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
+    out, idx = _mkm_forward(
+        scene, cfg, origin, direction, bounce_draws, interpret,
+        with_indices=True,
+    )
+    return out, (scene, origin, direction, bounce_draws, idx)
+
+
+def _mkm_bwd(cfg, interpret, res, g):
+    scene, origin, direction, bounce_draws, idx = res
+    from raytpu.integrator.path import trace as scan_trace
+
+    def replay(scene, origin, direction, draws):
+        return scan_trace(
+            scene, cfg, origin, direction, draws, bounce_idx=idx
+        )
+
+    _, pull = jax.vjp(replay, scene, origin, direction, bounce_draws)
+    return pull(g)
+
+
+_mkm_vjp.defvjp(_mkm_fwd, _mkm_bwd)
+
+
+def _mkm_forward(
+    scene: Scene,
+    cfg: RenderConfig,
+    origin: Vec3,
+    direction: Vec3,
+    bounce_draws: Array,
+    interpret: bool,
+    with_indices: bool,
+):
     b = origin.x.shape[0]
     has_tex = scene.atlas.alpha.shape[0] > 0
     tile_rows = _pick_rows(
@@ -879,11 +968,12 @@ def trace_mesh_megakernel(
         n_draws=nd, hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
         tile_rows=tile_rows,
         tex_limbs=1 if scene.atlas.packed is not None else 3,
-        interpret=interpret,
+        with_indices=with_indices, interpret=interpret,
     )
-    flat = [o.reshape(-1)[:b] for o in out]
+    flat = [o.reshape(-1)[:b] for o in out[:9]]
+    idx = out[9].reshape(bn, -1)[:, :b] if with_indices else None
     return (
         Vec3(flat[0], flat[1], flat[2]),
         Vec3(flat[3], flat[4], flat[5]),
         Vec3(flat[6], flat[7], flat[8]),
-    )
+    ), idx

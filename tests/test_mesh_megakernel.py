@@ -205,14 +205,19 @@ def test_dispatch_and_fallbacks():
     assert np.isfinite(np.asarray(out.radiance.to_array())).all()
 
 
-def test_mesh_megakernel_grad_takes_scan_backward():
-    """use_megakernel under jax.grad on a mesh scene must not crash;
-    gradients (incl. texture-value gradients) equal the scan path's."""
+def test_mesh_megakernel_grad_matches_scan():
+    """The index-replay backward (trace_scene._mkm_bwd): the forward
+    kernel records per-bounce winner indices and the pullback replays the
+    trace through closest_hit(best_idx=...) — so gradients for EVERY
+    scene leaf must equal the scan path's. The loss touches radiance AND
+    the normal AOV (the AOV chain is the one continuous route from
+    triangle vertices under nearest-texel fetch: normal_raw =
+    cross(b-a, c-a) -> normalize)."""
     from raytpu.train import combine_scene, partition_scene
 
     scene, cam, _ = load_scene("scenes/pyramide.toml")
     cfg = RenderConfig(
-        width=8, height=6, spp=2, max_bounces=3,
+        width=10, height=8, spp=3, max_bounces=5,
         use_megakernel=True, pallas_interpret=True,
     )
     pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
@@ -221,12 +226,71 @@ def test_mesh_megakernel_grad_takes_scan_backward():
 
     def loss(params, c):
         sums = render(combine_scene(params, static), cam, c, pids, key)
-        return jnp.mean((sums.radiance.to_array() - 0.2) ** 2)
+        return (
+            jnp.mean((sums.radiance.to_array() - 0.2) ** 2)
+            + jnp.mean(sums.normal.to_array() ** 2)
+        )
 
     g_mk = jax.grad(loss)(params, cfg)
     g_scan = jax.grad(loss)(params, cfg.replace(use_megakernel=False))
-    np.testing.assert_allclose(
-        np.asarray(g_mk.atlas.rgb.x),
-        np.asarray(g_scan.atlas.rgb.x),
-        rtol=1e-5, atol=1e-6,
+    checked = {
+        "atlas.rgb.x": (g_mk.atlas.rgb.x, g_scan.atlas.rgb.x),
+        "atlas.alpha": (g_mk.atlas.alpha, g_scan.atlas.alpha),
+        "tri.a.x": (g_mk.triangles.a.x, g_scan.triangles.a.x),
+        "tri.b.y": (g_mk.triangles.b.y, g_scan.triangles.b.y),
+        "tri.c.z": (g_mk.triangles.c.z, g_scan.triangles.c.z),
+        "mat.reflection": (g_mk.mat_table.reflection,
+                           g_scan.mat_table.reflection),
+        "sph.center.y": (g_mk.spheres.center.y, g_scan.spheres.center.y),
+        "sph.diffuse.x": (g_mk.spheres.mat.diffuse.x,
+                          g_scan.spheres.mat.diffuse.x),
+    }
+    nonzero = 0
+    for name, (a, b) in checked.items():
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=name,
+        )
+        nonzero += bool(np.abs(np.asarray(b)).max() > 0)
+    # the comparison must not be vacuous: the scan path produces real
+    # gradient signal for most of the leaves above on this scene
+    assert nonzero >= 5, f"only {nonzero} leaves had nonzero reference grads"
+
+
+def test_mesh_megakernel_grad_origin_direction():
+    """Ray-cotangent route: d(loss)/d(camera) flows through the kernel's
+    VJP origin/direction cotangents (sample_rays pullback)."""
+    from raytpu.core import rng as rrng
+    from raytpu.integrator.path import n_bounce_draws, trace
+    from raytpu.integrator.render import sample_rays
+    from raytpu.kernels.trace_scene import trace_mesh_megakernel
+
+    scene, cam, _ = load_scene("scenes/pyramide.toml")
+    cfg = RenderConfig(width=8, height=6, spp=1, max_bounces=4)
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    pix_keys = rrng.pixel_keys(jax.random.PRNGKey(9), pids)
+    ray_keys = rrng.sample_keys(pix_keys, jnp.int32(0))
+    cam_draws, bounce_draws = rrng.ray_uniforms(
+        ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
     )
+    origin, direction = sample_rays(cam, cfg, pids, cam_draws)
+
+    def loss_mk(o, d):
+        rad, _, nrm = trace_mesh_megakernel(
+            scene, cfg, o, d, bounce_draws, interpret=True
+        )
+        return jnp.mean(rad.to_array() ** 2) + jnp.mean(nrm.to_array() ** 2)
+
+    def loss_scan(o, d):
+        rad, _, nrm = trace(scene, cfg, o, d, bounce_draws)
+        return jnp.mean(rad.to_array() ** 2) + jnp.mean(nrm.to_array() ** 2)
+
+    go_mk, gd_mk = jax.grad(loss_mk, argnums=(0, 1))(origin, direction)
+    go_sc, gd_sc = jax.grad(loss_scan, argnums=(0, 1))(origin, direction)
+    for name, a, b in (
+        ("d_origin", go_mk.to_array(), go_sc.to_array()),
+        ("d_direction", gd_mk.to_array(), gd_sc.to_array()),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7, err_msg=name)
+        assert np.abs(b).max() > 0, f"{name}: vacuous comparison"
