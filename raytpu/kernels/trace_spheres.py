@@ -517,6 +517,22 @@ def supported(scene: Scene, cfg: RenderConfig) -> bool:
     )
 
 
+def unsupported_reasons(scene: Scene, cfg: RenderConfig) -> list[str]:
+    """Human-readable failed gates, kept in sync with supported() above —
+    surfaced by render()'s fallback log (a silent drop to the scan path
+    costs up to ~6x throughput; VERDICT r2 weak #7)."""
+    r = []
+    if scene.triangles.count != 0:
+        r.append("scene has triangles (mesh kernel territory)")
+    if scene.spheres.count == 0:
+        r.append("no spheres")
+    if scene.spheres.count > 64:
+        r.append(f"{scene.spheres.count} spheres > 64")
+    if scene.sky_sphere_index >= 0:
+        r.append("textured sky sphere")
+    return r
+
+
 # the sphere megakernel carries its own hand-structured backward kernel;
 # render() may differentiate straight through it (no scan recompute)
 HAS_VJP = True

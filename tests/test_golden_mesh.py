@@ -17,6 +17,8 @@ from raytpu.scenes import cornell_box, spheres_from_rows
 
 from tests.oracle import render_oracle
 
+pytestmark = pytest.mark.golden
+
 REF = "/root/reference/model3D"
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 

@@ -18,6 +18,8 @@ from raytpu.scenes import cornell_box
 
 from tests.oracle import render_oracle
 
+pytestmark = pytest.mark.golden
+
 
 def _compare(scene, cam, cfg, key, rtol=0.02, atol=0.02, outlier_frac=0.02):
     pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)

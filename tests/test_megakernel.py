@@ -12,6 +12,8 @@ from raytpu.integrator.render import render
 from raytpu.kernels.trace_spheres import supported
 from raytpu.scenes import BLACK, WHITE, cornell_box, spheres_from_rows
 
+pytestmark = pytest.mark.kernel
+
 
 def _compare(scene, cam, cfg, key, atol=1e-4, outlier_frac=0.02):
     """Scan vs megakernel. In interpreter mode the kernel runs op-by-op

@@ -15,6 +15,8 @@ from raytpu.core.vec3 import Vec3
 from raytpu.integrator.render import render
 from raytpu.kernels.trace_scene import supported
 
+pytestmark = pytest.mark.kernel
+
 
 def _compare(scene, cam, cfg, key, atol=1e-4, outlier_frac=0.02):
     """Scan vs mesh megakernel. Interpreter mode runs the kernel op-by-op

@@ -16,6 +16,8 @@ from raytpu.integrator.render import render
 from raytpu.geometry.triangle import precompute
 from raytpu.scenes import cornell_box
 
+pytestmark = pytest.mark.kernel
+
 
 def _random_rays(key, b):
     k1, k2 = jax.random.split(key)

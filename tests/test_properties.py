@@ -92,3 +92,36 @@ def test_throughput_bounded_without_bright_quirk():
     # leaves emission unchanged; emission colors <= 1)
     max_emit = float(jnp.max(m.emission_strength))
     assert rad.max() <= cfg.spp * max(max_emit, 1.0) + 1e-4
+
+
+def test_integrator_under_debug_nans():
+    """SURVEY §5.2: the integrator must run clean under
+    jax.config jax_debug_nans — no NaN is produced anywhere in the trace
+    (the 1e-30/1e-38 floors in the sqrt/normalize chains exist exactly
+    for this). debug_nans re-executes op-by-op on any NaN and raises,
+    so simply completing the render is the assertion."""
+    scene, cam, _ = cornell_box()
+    cfg = RenderConfig(width=10, height=6, spp=2, max_bounces=4)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        out = _render(scene, cam, cfg)
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    assert np.isfinite(out).all()
+
+
+def test_mesh_integrator_under_debug_nans():
+    """Same NaN-cleanliness for the triangle + texture-atlas path
+    (barycentric inv_area, UV wrap, atlas gather)."""
+    from raytpu.config import load_scene
+
+    scene, cam, _ = load_scene("scenes/pyramide.toml")
+    cfg = RenderConfig(width=10, height=6, spp=2, max_bounces=4)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+        sums = render(scene, cam, cfg, pids, jax.random.PRNGKey(3))
+        out = np.asarray(sums.radiance.to_array())
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    assert np.isfinite(out).all()
