@@ -71,6 +71,30 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
+def _time_best(fn_once, target_s: float = 1.0, samples: int = 3) -> float:
+    """Seconds per call: min over ``samples`` independent measurements,
+    each accumulated to at least ``target_s`` of measured wall time.
+
+    VERDICT r2 weak #1: the old logic (`reps = int(1.0/elapsed)`) let any
+    call in [1s, inf) be a SINGLE sample, so one tunnel/dispatch hiccup
+    landed unchecked in the permanent record (BENCH_r02's fwd+bwd was 6.3x
+    under the reproducible value). Min-of-3 over >=1s windows makes a
+    single hiccup recoverable and matches standard bench practice (min =
+    the least-noise estimate of deterministic device work).
+    """
+    t0 = time.perf_counter()
+    fn_once()
+    dt = time.perf_counter() - t0
+    reps = max(1, int(-(-target_s // max(dt, 1e-3))))
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn_once()
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
 def measure_fwd(scene, cam, cfg, mesh=None):
     import jax
     import jax.numpy as jnp
@@ -89,20 +113,11 @@ def measure_fwd(scene, cam, cfg, mesh=None):
     pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
     key = jax.random.PRNGKey(0)
 
-    _sync(fn(scene, cam, pixel_ids, key).radiance.x)  # compile + warm
-    # small configs (cfg1 is ~40ms of device work) are noise-dominated
-    # by dispatch + tunnel sync if timed once: repeat until >=1s measured
-    t0 = time.perf_counter()
     out = fn(scene, cam, pixel_ids, key)
-    _sync(out.radiance.x)
-    elapsed = time.perf_counter() - t0
-    reps = max(0, int(1.0 / max(elapsed, 1e-3)))
-    if reps:
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(scene, cam, pixel_ids, key)
-            _sync(out.radiance.x)
-        elapsed = (time.perf_counter() - t0) / reps
+    _sync(out.radiance.x)  # compile + warm
+    elapsed = _time_best(
+        lambda: _sync(fn(scene, cam, pixel_ids, key).radiance.x)
+    )
 
     # sanity: the render must be a real image, not NaN/zero garbage
     mean = float(np.asarray(out.radiance.x, np.float64).mean()) / cfg.spp
@@ -136,49 +151,94 @@ def measure_fwd_bwd(scene, cam, cfg):
     vg = jax.jit(jax.value_and_grad(loss_fn))
     loss, grads = vg(params)  # compile + warm
     _sync(loss)
+    assert np.isfinite(float(loss))
+    g_leaf = (
+        (lambda g: g.spheres.center.x) if scene.spheres.count
+        else (lambda g: g.triangles.a.x)
+    )
 
-    def timed():
-        t0 = time.perf_counter()
+    def once():
         loss, grads = vg(params)
         _sync(loss)
-        _sync(
-            grads.spheres.center.x if scene.spheres.count
-            else grads.triangles.a.x
-        )
-        return time.perf_counter() - t0, loss
+        _sync(g_leaf(grads))
 
-    elapsed, loss = timed()
-    reps = max(0, int(1.0 / max(elapsed, 1e-3)))
-    if reps:
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            _, loss = timed()
-        elapsed = (time.perf_counter() - t0) / reps
-    assert np.isfinite(float(loss))
+    elapsed = _time_best(once)
     return cfg.n_pixels * cfg.spp * cfg.max_bounces / elapsed
 
 
-def emit(metric, value, prev):
+def measure_denoise(width=1200, height=900):
+    """Mpix/s for the two denoise passes at the BASELINE config-5 frame
+    size (the reference's OIDN stage, /root/reference/denoiser.h:31-91,
+    invoked main.c:455 — a real runtime stage the record must time)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.denoise.bilateral import denoise as bilateral
+    from raytpu.denoise.learned import denoise_learned, load_params
+
+    key = jax.random.PRNGKey(0)
+    shape = (height, width, 3)
+    color = jax.random.uniform(key, shape)
+    albedo = jax.random.uniform(jax.random.fold_in(key, 1), shape)
+    normal = jax.random.normal(jax.random.fold_in(key, 2), shape) * 0.3
+
+    results = {}
+    bi = jax.jit(bilateral)
+    _sync(bi(color, albedo, normal))
+    results["bilateral"] = _time_best(
+        lambda: _sync(bi(color, albedo, normal))
+    )
+    params = load_params()
+    if params is not None:
+        kp = jax.jit(lambda c, a, n: denoise_learned(c, a, n, params))
+        _sync(kp(color, albedo, normal))
+        results["kpcn"] = _time_best(lambda: _sync(kp(color, albedo, normal)))
+    mpix = width * height / 1e6
+    return {k: mpix / v for k, v in results.items()}
+
+
+def emit(metric, value, prev, unit="rays/s"):
+    vs = round(value / prev, 4) if prev else 1.0
     print(json.dumps({
         "metric": metric,
         "value": round(value, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(value / prev, 4) if prev else 1.0,
+        "unit": unit,
+        "vs_baseline": vs,
     }), flush=True)
+    if prev and (vs < 0.5 or vs > 3.0):
+        # VERDICT r2 task 2d: a bad capture must be visible in the tail —
+        # BENCH_r02 silently recorded fwd+bwd at 0.16x the reproducible
+        # value. This line does not change the JSON record.
+        print(
+            f"bench WARNING: {metric} vs_baseline={vs} is outside [0.5, 3] "
+            "— suspect a mis-capture; re-run before trusting this record",
+            file=sys.stderr, flush=True,
+        )
 
 
 HEADLINE = "fwd_rays_per_sec_chip_1200x900x1000spp_6b"
 
-# BASELINE.json's five configs: (metric tag, scene spec, overrides).
-# Mesh configs are timed at reduced spp (cost per ray is spp-invariant;
-# full-spp renders of config 5 would take ~5 min each on the XLA path).
+# BASELINE.json's five configs: (metric tag, scene spec, fwd overrides,
+# fwd+bwd overrides or None). Mesh configs are timed at reduced spp.
+# The spp-invariance this rests on is MEASURED, not assumed
+# (tools/probe_spp_invariance.py on v5e, r3): per-sample device cost is
+# spp-invariant, but each call carries ~28ms of fixed dispatch/tunnel
+# overhead, so reduced-spp rates UNDERSTATE the full-spp rate —
+# flagship 1.73 G at spp=1000 vs 1.50 G at spp=50 (0.87x); pyramide
+# 0.85 G at spp=200 vs 0.77 G at spp=50 (0.91x). The recorded numbers
+# are therefore conservative; spp below 20 is never used for a record.
 ROOT = os.path.dirname(os.path.abspath(__file__))
 CONFIGS = [
-    ("cfg1_cornell_400x300", "cornell", {}),
-    ("cfg2_dof_ao_800x600", f"{ROOT}/scenes/cornell_dof_ao.toml", {"spp": 100}),
-    ("cfg3_pyramide_1000x750", f"{ROOT}/scenes/pyramide.toml", {"spp": 50}),
-    ("cfg4_grassblock_1000x750", f"{ROOT}/scenes/grass_block.toml", {"spp": 50}),
-    ("cfg5_mcworld_1200x900", f"{ROOT}/scenes/mcworld_water.toml", {"spp": 20}),
+    ("cfg1_cornell_400x300", "cornell", {}, None),  # sphere-path bwd is
+    # the flagship fwd_bwd line below; no second sphere bwd record
+    ("cfg2_dof_ao_800x600", f"{ROOT}/scenes/cornell_dof_ao.toml",
+     {"spp": 100}, None),  # AO scene: bwd covered by the flagship line
+    ("cfg3_pyramide_1000x750", f"{ROOT}/scenes/pyramide.toml",
+     {"spp": 50}, {"spp": 50}),
+    ("cfg4_grassblock_1000x750", f"{ROOT}/scenes/grass_block.toml",
+     {"spp": 50}, {"spp": 50}),
+    ("cfg5_mcworld_1200x900", f"{ROOT}/scenes/mcworld_water.toml",
+     {"spp": 20}, {"spp": 20}),
 ]
 
 
@@ -270,20 +330,31 @@ def main() -> None:
     cfg = overrides(cfg).replace(use_megakernel=mk)
 
     if not args.quick:
-        # per-config forward numbers (VERDICT round-1 weak #2: these were
-        # hand-recorded; now the suite emits them)
-        for tag, spec, over in CONFIGS:
+        # per-config forward AND forward+backward numbers (VERDICT r2
+        # weak #2: fwd+bwd was benchmark-invisible for the mesh configs,
+        # which is how an 83x fwd/bwd gap went unrecorded)
+        for tag, spec, over, bwd_over in CONFIGS:
             s, c, k = load_scene(spec)
             k = k.replace(use_megakernel=mk, **over)
             v = measure_fwd(s, c, k)
             emit(f"fwd_rays_per_sec_chip_{tag}", v,
                  previous_value(ROOT, f"fwd_rays_per_sec_chip_{tag}"))
+            if bwd_over is not None:
+                kb = k.replace(**bwd_over)
+                v = measure_fwd_bwd(s, c, kb)
+                emit(f"fwd_bwd_rays_per_sec_chip_{tag}", v,
+                     previous_value(ROOT, f"fwd_bwd_rays_per_sec_chip_{tag}"))
         # flagship forward+backward (the second half of BASELINE's metric),
-        # at reduced spp — per-ray cost is spp-invariant
+        # at reduced spp — per-ray cost is spp-invariant (header comment)
         bwd_cfg = cfg.replace(spp=50)
         v = measure_fwd_bwd(scene, cam, bwd_cfg)
         emit("fwd_bwd_rays_per_sec_chip_1200x900_6b", v,
              previous_value(ROOT, "fwd_bwd_rays_per_sec_chip_1200x900_6b"))
+        # denoise pass (BASELINE config-5 names it; denoiser.h:31-91)
+        for name, mpix_s in measure_denoise().items():
+            emit(f"denoise_{name}_mpix_per_sec_1200x900", mpix_s,
+                 previous_value(ROOT, f"denoise_{name}_mpix_per_sec_1200x900"),
+                 unit="Mpix/s")
 
     val = measure_fwd(scene, cam, cfg, mesh=dev_mesh)
     if dev_mesh is not None:
