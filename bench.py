@@ -239,6 +239,10 @@ CONFIGS = [
      {"spp": 50}, {"spp": 50}),
     ("cfg5_mcworld_1200x900", f"{ROOT}/scenes/mcworld_water.toml",
      {"spp": 20}, {"spp": 20}),
+    # not a BASELINE config: the equirect-sky showcase (VERDICT r3), a
+    # sphere-megakernel scene exercising the in-kernel sky slot +
+    # XLA row-gather composition (kernels/trace_spheres)
+    ("sky_1000x750", f"{ROOT}/scenes/sky.toml", {"spp": 50}, {"spp": 50}),
 ]
 
 

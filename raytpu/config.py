@@ -281,6 +281,24 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
 
         sky = load_sky(os.path.join(base, spec["sky"]["file"]))
         sky_index = int(spec["sky"].get("sphere_index", spheres.count - 1))
+        # the reference's sky convention ("derniere sphere = ciel",
+        # main.c:331/347): the sky sphere is a PURE emitter — black
+        # diffuse, no refraction window. The sphere megakernel's
+        # single-slot sky composition (kernels/trace_spheres) is exact
+        # under exactly this convention, so enforce it at load.
+        d = spheres.mat.diffuse
+        import numpy as _np2
+
+        if (
+            float(_np2.abs(_np2.asarray(d.x[sky_index]))) > 0.0
+            or float(_np2.abs(_np2.asarray(d.y[sky_index]))) > 0.0
+            or float(_np2.abs(_np2.asarray(d.z[sky_index]))) > 0.0
+        ):
+            raise ValueError(
+                f"{path}: the [sky] sphere (index {sky_index}) must have "
+                "black diffuse (the reference's pure-emitter sky "
+                "convention; required for the megakernel fast path)"
+            )
 
     scene = Scene(
         spheres=spheres,

@@ -30,12 +30,14 @@ from raytpu.io.obj import ObjMesh
 
 def parse_mesh(path: str) -> ObjMesh:
     """Extension-routed mesh import: .obj (native/python parser),
-    .ply, .stl."""
+    .ply, .stl, .gltf/.glb."""
     lower = path.lower()
     if lower.endswith(".ply"):
         return parse_ply(path)
     if lower.endswith(".stl"):
         return parse_stl(path)
+    if lower.endswith((".gltf", ".glb")):
+        return parse_gltf(path)
     from raytpu.io.obj import parse_obj
 
     return parse_obj(path)
@@ -204,6 +206,157 @@ def parse_ply(path: str) -> ObjMesh:
     return _mesh(
         verts, uvs if has_uv else np.zeros((0, 2)), face_v, face_t,
         np.full(n_tri, -1, np.int32), [],
+    )
+
+
+# ---------------------------------------------------------------------------
+# glTF 2.0 (minimal: triangles + TEXCOORD_0, .gltf JSON and .glb binary)
+# ---------------------------------------------------------------------------
+# Scope decision (COMPONENTS.md 2.21): assimp's glTF surface as the
+# reference's CUDA loader would expose it — triangulated positions, one
+# UV set, per-primitive material slot, node TRS/matrix transforms on the
+# default scene. Animations, skins, morphs, and texture/material payloads
+# are out of scope (the pipeline's materials come from scene specs /
+# MatTable, matching how triangle.hu:61-167 only reads diffuse+shininess).
+_GLTF_COMPONENT = {
+    5120: ("b", 1), 5121: ("B", 1), 5122: ("h", 2),
+    5123: ("H", 2), 5125: ("I", 4), 5126: ("f", 4),
+}
+_GLTF_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+def parse_gltf(path: str) -> ObjMesh:
+    import base64
+    import json
+    import os
+
+    with open(path, "rb") as f:
+        data = f.read()
+
+    bin_chunk = None
+    if data[:4] == b"glTF":                       # .glb container
+        if len(data) < 12:
+            raise ValueError(f"{path}: truncated GLB header")
+        pos, gltf = 12, None
+        while pos + 8 <= len(data):
+            (clen, ctype) = struct.unpack_from("<II", data, pos)
+            chunk = data[pos + 8 : pos + 8 + clen]
+            if ctype == 0x4E4F534A:               # 'JSON'
+                gltf = json.loads(chunk)
+            elif ctype == 0x004E4942:             # 'BIN\0'
+                bin_chunk = chunk
+            pos += 8 + clen + (-clen % 4)
+        if gltf is None:
+            raise ValueError(f"{path}: GLB has no JSON chunk")
+    else:
+        gltf = json.loads(data)
+
+    base = os.path.dirname(path)
+    buffers = []
+    for buf in gltf.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            if bin_chunk is None:
+                raise ValueError(f"{path}: buffer without uri outside GLB")
+            buffers.append(bin_chunk)
+        elif uri.startswith("data:"):
+            buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            with open(os.path.join(base, uri), "rb") as f:
+                buffers.append(f.read())
+
+    def read_accessor(idx: int) -> np.ndarray:
+        acc = gltf["accessors"][idx]
+        fmt, size = _GLTF_COMPONENT[acc["componentType"]]
+        ncomp = _GLTF_NCOMP[acc["type"]]
+        count = acc["count"]
+        view = gltf["bufferViews"][acc["bufferView"]]
+        buf = buffers[view["buffer"]]
+        off = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = view.get("byteStride") or size * ncomp
+        out = np.empty((count, ncomp), np.float64)
+        for i in range(count):
+            out[i] = struct.unpack_from("<" + fmt * ncomp, buf, off + i * stride)
+        if acc.get("normalized") and fmt in ("B", "H", "b", "h"):
+            out /= float((1 << (8 * size - (0 if fmt.isupper() else 1))) - 1)
+        return out
+
+    verts, uvs, face_v, face_t, face_mat = [], [], [], [], []
+    v_base = t_base = 0
+
+    def emit_primitive(prim: dict, xform: np.ndarray) -> None:
+        nonlocal v_base, t_base
+        if prim.get("mode", 4) != 4:              # TRIANGLES only
+            return
+        pos = read_accessor(prim["attributes"]["POSITION"])[:, :3]
+        pos = pos @ xform[:3, :3].T + xform[:3, 3]
+        if "indices" in prim:
+            idx = read_accessor(prim["indices"]).astype(np.int64).ravel()
+        else:
+            idx = np.arange(pos.shape[0], dtype=np.int64)
+        tri = idx.reshape(-1, 3)
+        verts.append(pos)
+        face_v.append(tri + v_base)
+        uv_acc = prim["attributes"].get("TEXCOORD_0")
+        if uv_acc is not None:
+            uvs.append(read_accessor(uv_acc)[:, :2])
+            face_t.append(tri + t_base)
+            t_base += pos.shape[0]
+        else:
+            face_t.append(np.full_like(tri, -1))
+        face_mat.append(
+            np.full(tri.shape[0], prim.get("material", -1), np.int32)
+        )
+        v_base += pos.shape[0]
+
+    def node_matrix(node: dict) -> np.ndarray:
+        if "matrix" in node:                       # column-major per spec
+            return np.asarray(node["matrix"], np.float64).reshape(4, 4).T
+        m = np.eye(4)
+        if "scale" in node:
+            m[:3, :3] *= np.asarray(node["scale"], np.float64)
+        if "rotation" in node:                     # quaternion (x, y, z, w)
+            x, y, z, w = node["rotation"]
+            rot = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ])
+            m[:3, :3] = rot @ m[:3, :3]
+        if "translation" in node:
+            m[:3, 3] = node["translation"]
+        return m
+
+    def walk(node_idx: int, parent: np.ndarray) -> None:
+        node = gltf["nodes"][node_idx]
+        xform = parent @ node_matrix(node)
+        if "mesh" in node:
+            for prim in gltf["meshes"][node["mesh"]]["primitives"]:
+                emit_primitive(prim, xform)
+        for child in node.get("children", []):
+            walk(child, xform)
+
+    scenes = gltf.get("scenes", [])
+    scene_idx = gltf.get("scene", 0)
+    if scenes:
+        for root in scenes[scene_idx].get("nodes", []):
+            walk(root, np.eye(4))
+    else:                                          # no scene: every mesh, raw
+        for mesh in gltf.get("meshes", []):
+            for prim in mesh["primitives"]:
+                emit_primitive(prim, np.eye(4))
+
+    if not face_v:
+        raise ValueError(f"{path}: no triangle primitives")
+    mat_names = [
+        m.get("name", f"material_{i}")
+        for i, m in enumerate(gltf.get("materials", []))
+    ]
+    return _mesh(
+        np.concatenate(verts) if verts else np.zeros((0, 3)),
+        np.concatenate(uvs) if uvs else np.zeros((0, 2)),
+        np.concatenate(face_v), np.concatenate(face_t),
+        np.concatenate(face_mat), mat_names,
     )
 
 

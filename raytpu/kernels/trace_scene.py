@@ -43,8 +43,14 @@ barycentrics texture.h:16-27, fmod UV wrap, texel indexing, the x1.3
 double-multiply quirk, reduced pile.h medium scalar, HSL boost) is
 op-for-op the scan path's (integrator/path.py, integrator/hit.py,
 materials/texture.py), applied to the same f32 values in the same
-order, so outputs are bit-identical to the scan integrator
-(tests/test_mesh_megakernel.py).
+order, so outputs are bit-identical to the scan integrator whenever
+both lower through one backend — which is what the interpret-mode
+tests compare (tests/test_mesh_megakernel.py). On hardware, Mosaic
+and XLA:TPU make different FMA-contraction choices for the SAME
+chained arithmetic (tools/probe_bitexact.py), so compiled kernel and
+scan renders agree to ulps — exactly on most pixels, with knife-edge
+branch flips on a small fraction in deep-refraction scenes (measured
+0.4-2.7% at 4-19 bounces, tools/probe_deep_bounce.py).
 
 Scope: spheres <= 64, 1..2048 triangles, materials <= 64, optional
 texture atlas, refraction/cutout/HSL/bright-boost, forward only, AO
@@ -182,6 +188,181 @@ def unsupported_reasons(scene: Scene, cfg: RenderConfig) -> list[str]:
     if -(-n_tex // w) > MAX_TEX_ROWS:
         r.append(f"{-(-n_tex // w)} texture rows > {MAX_TEX_ROWS}")
     return r
+
+
+def shade_bounce(
+    i,
+    carry,
+    did_hit,
+    px, py, pz,
+    nX, nY, nZ,
+    dfx, dfy, dfz,
+    emx, emy, emz,
+    estr, refl, alpha, ior,
+    u_d, v_d, roulette,
+    *,
+    alpha_lo, alpha_hi, bright_boost, bright_threshold, hsl_l, hsl_s,
+):
+    """One bounce's shading: everything AFTER the winner's (point, normal,
+    material) is known — AOV base cases, emissive early return, scatter,
+    refraction, cutout, accumulation (main.c:137-238). Bit-identical to
+    kernels/trace_spheres.py / integrator/path.py (tests assert it).
+
+    Shared by the forward megakernel (winner from the in-kernel search)
+    and the backward replay kernel (trace_scene_bwd: winner extracted
+    from the recorded index and recomputed differentiably), so the two
+    apply op-for-op identical arithmetic — the property the grad-parity
+    tests rely on.
+    """
+    (rox, roy, roz, rdx, rdy, rdz,
+     rcx, rcy, rcz, ix, iy, iz,
+     ax_, ay_, az_, nx_, ny_, nz_,
+     active_f, is_alpha_f, alpha_depth, medium_n2) = carry
+    f0 = jnp.zeros_like(rox)
+    f1 = jnp.ones_like(rox)
+    active = active_f > 0.0
+    is_alpha = is_alpha_f > 0.0
+
+    # ``i`` may be a static Python int (the forward kernel's unrolled
+    # loop) or a traced scalar (the backward replay's lax.scan over
+    # bounces) — the two produce bit-identical values: at bounce 0 every
+    # lane is active, so where(active & (i==0), v, old) == v, and
+    # aov_alpha is False at bounce 0 (is_alpha starts False), matching
+    # the static skip. Mask application order follows integrator/path.py
+    # (aov0 first, then aov_alpha).
+    static_i = isinstance(i, int)
+    if not static_i or i == 0:
+        if static_i:
+            ax_, ay_, az_ = dfx, dfy, dfz
+            nx_, ny_, nz_ = nX, nY, nZ
+        else:
+            aov0 = active & (i == 0)
+            ax_ = jnp.where(aov0, dfx, ax_)
+            ay_ = jnp.where(aov0, dfy, ay_)
+            az_ = jnp.where(aov0, dfz, az_)
+            nx_ = jnp.where(aov0, nX, nx_)
+            ny_ = jnp.where(aov0, nY, ny_)
+            nz_ = jnp.where(aov0, nZ, nz_)
+    if not static_i or i != 0:
+        aov_alpha = active & (i == alpha_depth) & is_alpha
+        em = estr > 0.0
+        ax_ = jnp.where(aov_alpha, jnp.where(em, emx, dfx), ax_)
+        ay_ = jnp.where(aov_alpha, jnp.where(em, emy, dfy), ay_)
+        az_ = jnp.where(aov_alpha, jnp.where(em, emz, dfz), az_)
+        nx_ = jnp.where(aov_alpha, nX, nx_)
+        ny_ = jnp.where(aov_alpha, nY, ny_)
+        nz_ = jnp.where(aov_alpha, nZ, nz_)
+        is_alpha = is_alpha & ~aov_alpha
+        is_alpha_f = jnp.where(is_alpha, f1, f0)
+
+    emissive_ret = (
+        active & did_hit & (i == alpha_depth) & (estr > 0.0)
+    )
+    if hsl_l == 1.0 and hsl_s == 1.0:
+        bx, by, bz = emx, emy, emz
+    else:
+        from raytpu.core.color import hsl_boost
+        from raytpu.core.vec3 import Vec3 as _V
+
+        bb_ = hsl_boost(_V(emx, emy, emz), hsl_l, hsl_s)
+        bx, by, bz = bb_.x, bb_.y, bb_.z
+    ix = jnp.where(emissive_ret, bx, ix)
+    iy = jnp.where(emissive_ret, by, iy)
+    iz = jnp.where(emissive_ret, bz, iz)
+    ax_ = jnp.where(emissive_ret, bx, ax_)
+    ay_ = jnp.where(emissive_ret, by, ay_)
+    az_ = jnp.where(emissive_ret, bz, az_)
+    nx_ = jnp.where(emissive_ret, nX, nx_)
+    ny_ = jnp.where(emissive_ret, nY, ny_)
+    nz_ = jnp.where(emissive_ret, nZ, nz_)
+    active = active & ~emissive_ret
+
+    live = active & did_hit
+
+    theta = (2.0 * jnp.float32(jnp.pi)) * u_d
+    cph = jnp.clip(2.0 * v_d - 1.0, -1.0, 1.0)
+    sph_ = jnp.sqrt(jnp.maximum(1.0 - cph * cph, 0.0))
+    rux = jnp.cos(theta) * sph_
+    ruy = jnp.sin(theta) * sph_
+    ruz = cph
+    ddx, ddy, ddz = nX + rux, nY + ruy, nZ + ruz
+    dn2 = ddx * ddx + ddy * ddy + ddz * ddz
+    dinv = jnp.where(dn2 > 0, 1.0 / jnp.sqrt(jnp.maximum(dn2, 1e-38)), 0.0)
+    ddx, ddy, ddz = ddx * dinv, ddy * dinv, ddz * dinv
+    vdn = rdx * nX + rdy * nY + rdz * nZ
+    rfx = rdx - 2.0 * vdn * nX
+    rfy = rdy - 2.0 * vdn * nY
+    rfz = rdz - 2.0 * vdn * nZ
+    drx = ddx + (rfx - ddx) * refl
+    dry = ddy + (rfy - ddy) * refl
+    drz = ddz + (rfz - ddz) * refl
+
+    refr_case = live & (alpha <= alpha_hi) & (alpha >= alpha_lo)
+    exiting = vdn > 0.0
+    nex = jnp.where(exiting, -nX, nX)
+    ney = jnp.where(exiting, -nY, nY)
+    nez = jnp.where(exiting, -nZ, nZ)
+    n1_ = jnp.where(exiting, ior, medium_n2)
+    n2_ = jnp.where(exiting, medium_n2, ior)
+    medium_n2 = jnp.where(refr_case & ~exiting, ior, medium_n2)
+    n1s = n1_ * n1_
+    n2s_ = n2_ * n2_
+    ratio = jnp.clip(n1s / jnp.maximum(n2s_, 1e-20), 0.0, 1e6)
+    ndotv = nex * rdx + ney * rdy + nez * rdz
+    radical = 1.0 - (ratio * ratio) * (1.0 - ndotv * ndotv)
+    ct_scale = rdx * nex + rdy * ney + rdz * nez
+    tanx = (rdx - nex * ct_scale) * ratio
+    tany = (rdy - ney * ct_scale) * ratio
+    tanz = (rdz - nez * ct_scale) * ratio
+    sqr = jnp.sqrt(jnp.maximum(radical, 1e-20))
+    refx = tanx - nex * sqr
+    refy = tany - ney * sqr
+    refz = tanz - nez * sqr
+    vdne = rdx * nex + rdy * ney + rdz * nez
+    mrx = rdx - 2.0 * vdne * nex
+    mry = rdy - 2.0 * vdne * ney
+    mrz = rdz - 2.0 * vdne * nez
+    tir = radical <= 0.0
+    refx = jnp.where(tir, mrx, refx)
+    refy = jnp.where(tir, mry, refy)
+    refz = jnp.where(tir, mrz, refz)
+    do_refract = refr_case & (roulette > alpha)
+
+    cutout = live & (alpha < alpha_lo)
+    opaque = live & (alpha > alpha_hi)
+    is_alpha_f = jnp.where(opaque, f0, is_alpha_f)
+    is_alpha_f = jnp.where(cutout, f1, is_alpha_f)
+    alpha_depth = jnp.where(cutout, alpha_depth + 1, alpha_depth)
+
+    use_dr = live & ~do_refract & ~cutout
+    rox = jnp.where(live, px, rox)
+    roy = jnp.where(live, py, roy)
+    roz = jnp.where(live, pz, roz)
+    rdx = jnp.where(do_refract, refx, jnp.where(use_dr, drx, rdx))
+    rdy = jnp.where(do_refract, refy, jnp.where(use_dr, dry, rdy))
+    rdz = jnp.where(do_refract, refz, jnp.where(use_dr, drz, rdz))
+
+    accum = live & ~do_refract & ~cutout
+    ix = jnp.where(accum, ix + emx * estr * rcx, ix)
+    iy = jnp.where(accum, iy + emy * estr * rcy, iy)
+    iz = jnp.where(accum, iz + emz * estr * rcz, iz)
+    bright = (
+        (rcx > bright_threshold)
+        | (rcy > bright_threshold)
+        | (rcz > bright_threshold)
+    )
+    nbx = jnp.where(bright, dfx * (dfx * (rcx * bright_boost)), dfx * rcx)
+    nby = jnp.where(bright, dfy * (dfy * (rcy * bright_boost)), dfy * rcy)
+    nbz = jnp.where(bright, dfz * (dfz * (rcz * bright_boost)), dfz * rcz)
+    rcx = jnp.where(accum, nbx, rcx)
+    rcy = jnp.where(accum, nby, rcy)
+    rcz = jnp.where(accum, nbz, rcz)
+
+    active_f = jnp.where(active & did_hit, f1, f0)
+
+    return (rox, roy, roz, rdx, rdy, rdz, rcx, rcy, rcz, ix, iy, iz,
+            ax_, ay_, az_, nx_, ny_, nz_,
+            active_f, is_alpha_f, alpha_depth, medium_n2)
 
 
 def _kernel(
@@ -538,135 +719,24 @@ def _kernel(
         nX, nY, nZ = tsel(tnX, snX), tsel(tnY, snY), tsel(tnZ, snZ)
 
         # ================================================================
-        # shading: identical to kernels/trace_spheres.py (which is
-        # bit-identical to integrator/path.py) from here down
+        # shading (shade_bounce): identical to kernels/trace_spheres.py
+        # (which is bit-identical to integrator/path.py) from here down;
+        # shared with the backward replay kernel (trace_scene_bwd)
         # ================================================================
-        if i == 0:
-            ax_, ay_, az_ = dfx, dfy, dfz
-            nx_, ny_, nz_ = nX, nY, nZ
-        else:
-            aov_alpha = active & (i == alpha_depth) & is_alpha
-            em = estr > 0.0
-            ax_ = jnp.where(aov_alpha, jnp.where(em, emx, dfx), ax_)
-            ay_ = jnp.where(aov_alpha, jnp.where(em, emy, dfy), ay_)
-            az_ = jnp.where(aov_alpha, jnp.where(em, emz, dfz), az_)
-            nx_ = jnp.where(aov_alpha, nX, nx_)
-            ny_ = jnp.where(aov_alpha, nY, ny_)
-            nz_ = jnp.where(aov_alpha, nZ, nz_)
-            is_alpha = is_alpha & ~aov_alpha
-            is_alpha_f = jnp.where(is_alpha, f1, f0)
-
-        emissive_ret = (
-            active & did_hit & (i == alpha_depth) & (estr > 0.0)
+        return shade_bounce(
+            i,
+            (rox, roy, roz, rdx, rdy, rdz, rcx, rcy, rcz, ix, iy, iz,
+             ax_, ay_, az_, nx_, ny_, nz_,
+             active_f, is_alpha_f, alpha_depth, medium_n2),
+            did_hit, px, py, pz, nX, nY, nZ,
+            dfx, dfy, dfz, emx, emy, emz, estr, refl, alpha, ior,
+            draws_ref[n_draws * i + 0],
+            draws_ref[n_draws * i + 1],
+            draws_ref[n_draws * i + 2],
+            alpha_lo=alpha_lo, alpha_hi=alpha_hi,
+            bright_boost=bright_boost, bright_threshold=bright_threshold,
+            hsl_l=hsl_l, hsl_s=hsl_s,
         )
-        if hsl_l == 1.0 and hsl_s == 1.0:
-            bx, by, bz = emx, emy, emz
-        else:
-            from raytpu.core.color import hsl_boost
-            from raytpu.core.vec3 import Vec3 as _V
-
-            bb_ = hsl_boost(_V(emx, emy, emz), hsl_l, hsl_s)
-            bx, by, bz = bb_.x, bb_.y, bb_.z
-        ix = jnp.where(emissive_ret, bx, ix)
-        iy = jnp.where(emissive_ret, by, iy)
-        iz = jnp.where(emissive_ret, bz, iz)
-        ax_ = jnp.where(emissive_ret, bx, ax_)
-        ay_ = jnp.where(emissive_ret, by, ay_)
-        az_ = jnp.where(emissive_ret, bz, az_)
-        nx_ = jnp.where(emissive_ret, nX, nx_)
-        ny_ = jnp.where(emissive_ret, nY, ny_)
-        nz_ = jnp.where(emissive_ret, nZ, nz_)
-        active = active & ~emissive_ret
-
-        live = active & did_hit
-
-        u_d = draws_ref[n_draws * i + 0]
-        v_d = draws_ref[n_draws * i + 1]
-        roulette = draws_ref[n_draws * i + 2]
-        theta = (2.0 * jnp.float32(jnp.pi)) * u_d
-        cph = jnp.clip(2.0 * v_d - 1.0, -1.0, 1.0)
-        sph_ = jnp.sqrt(jnp.maximum(1.0 - cph * cph, 0.0))
-        rux = jnp.cos(theta) * sph_
-        ruy = jnp.sin(theta) * sph_
-        ruz = cph
-        ddx, ddy, ddz = nX + rux, nY + ruy, nZ + ruz
-        dn2 = ddx * ddx + ddy * ddy + ddz * ddz
-        dinv = jnp.where(dn2 > 0, 1.0 / jnp.sqrt(jnp.maximum(dn2, 1e-38)), 0.0)
-        ddx, ddy, ddz = ddx * dinv, ddy * dinv, ddz * dinv
-        vdn = rdx * nX + rdy * nY + rdz * nZ
-        rfx = rdx - 2.0 * vdn * nX
-        rfy = rdy - 2.0 * vdn * nY
-        rfz = rdz - 2.0 * vdn * nZ
-        drx = ddx + (rfx - ddx) * refl
-        dry = ddy + (rfy - ddy) * refl
-        drz = ddz + (rfz - ddz) * refl
-
-        refr_case = live & (alpha <= alpha_hi) & (alpha >= alpha_lo)
-        exiting = vdn > 0.0
-        nex = jnp.where(exiting, -nX, nX)
-        ney = jnp.where(exiting, -nY, nY)
-        nez = jnp.where(exiting, -nZ, nZ)
-        n1_ = jnp.where(exiting, ior, medium_n2)
-        n2_ = jnp.where(exiting, medium_n2, ior)
-        medium_n2 = jnp.where(refr_case & ~exiting, ior, medium_n2)
-        n1s = n1_ * n1_
-        n2s_ = n2_ * n2_
-        ratio = jnp.clip(n1s / jnp.maximum(n2s_, 1e-20), 0.0, 1e6)
-        ndotv = nex * rdx + ney * rdy + nez * rdz
-        radical = 1.0 - (ratio * ratio) * (1.0 - ndotv * ndotv)
-        ct_scale = rdx * nex + rdy * ney + rdz * nez
-        tanx = (rdx - nex * ct_scale) * ratio
-        tany = (rdy - ney * ct_scale) * ratio
-        tanz = (rdz - nez * ct_scale) * ratio
-        sqr = jnp.sqrt(jnp.maximum(radical, 1e-20))
-        refx = tanx - nex * sqr
-        refy = tany - ney * sqr
-        refz = tanz - nez * sqr
-        vdne = rdx * nex + rdy * ney + rdz * nez
-        mrx = rdx - 2.0 * vdne * nex
-        mry = rdy - 2.0 * vdne * ney
-        mrz = rdz - 2.0 * vdne * nez
-        tir = radical <= 0.0
-        refx = jnp.where(tir, mrx, refx)
-        refy = jnp.where(tir, mry, refy)
-        refz = jnp.where(tir, mrz, refz)
-        do_refract = refr_case & (roulette > alpha)
-
-        cutout = live & (alpha < alpha_lo)
-        opaque = live & (alpha > alpha_hi)
-        is_alpha_f = jnp.where(opaque, f0, is_alpha_f)
-        is_alpha_f = jnp.where(cutout, f1, is_alpha_f)
-        alpha_depth = jnp.where(cutout, alpha_depth + 1, alpha_depth)
-
-        use_dr = live & ~do_refract & ~cutout
-        rox = jnp.where(live, px, rox)
-        roy = jnp.where(live, py, roy)
-        roz = jnp.where(live, pz, roz)
-        rdx = jnp.where(do_refract, refx, jnp.where(use_dr, drx, rdx))
-        rdy = jnp.where(do_refract, refy, jnp.where(use_dr, dry, rdy))
-        rdz = jnp.where(do_refract, refz, jnp.where(use_dr, drz, rdz))
-
-        accum = live & ~do_refract & ~cutout
-        ix = jnp.where(accum, ix + emx * estr * rcx, ix)
-        iy = jnp.where(accum, iy + emy * estr * rcy, iy)
-        iz = jnp.where(accum, iz + emz * estr * rcz, iz)
-        bright = (
-            (rcx > bright_threshold)
-            | (rcy > bright_threshold)
-            | (rcz > bright_threshold)
-        )
-        nbx = jnp.where(bright, dfx * (dfx * (rcx * bright_boost)), dfx * rcx)
-        nby = jnp.where(bright, dfy * (dfy * (rcy * bright_boost)), dfy * rcy)
-        nbz = jnp.where(bright, dfz * (dfz * (rcz * bright_boost)), dfz * rcz)
-        rcx = jnp.where(accum, nbx, rcx)
-        rcy = jnp.where(accum, nby, rcy)
-        rcz = jnp.where(accum, nbz, rcz)
-
-        active_f = jnp.where(active & did_hit, f1, f0)
-
-        return (rox, roy, roz, rdx, rdy, rdz, rcx, rcy, rcz, ix, iy, iz,
-                ax_, ay_, az_, nx_, ny_, nz_,
-                active_f, is_alpha_f, alpha_depth, medium_n2)
 
     def skip_body(i, carry):
         if with_indices:
@@ -786,13 +856,12 @@ def _limb3(a: Array, pad_to: int) -> Array:
     return jnp.pad(out, ((0, pad_to - out.shape[0]), (0, 0)))
 
 
-def pack_scene(scene: Scene, geom: TriangleGeom):
-    """Host-side SoA packing: SMEM tables + the VMEM atlas chunks."""
+def pack_sph(scene: Scene) -> Array:
+    """(14, S_pad) sphere table: cx cy cz r | dif3 emi3 estr refl alpha ior."""
     n_s = scene.spheres.count
-    n_t = scene.triangles.count
     s_pad = max(-(-n_s // 8) * 8, 8)
     m = scene.spheres.mat
-    sph = pad_prims(
+    return pad_prims(
         [
             scene.spheres.center.x, scene.spheres.center.y,
             scene.spheres.center.z, scene.spheres.radius,
@@ -803,9 +872,13 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
         s_pad,
     )
 
+
+def pack_tri25(scene: Scene, geom: TriangleGeom) -> Array:
+    """(25, T_pad) triangle table: a3 ab3 ac3 n3 b3 c3 ua va ub vb uc vc mat."""
+    n_t = scene.triangles.count
     t_pad = max(-(-n_t // EXT_CHUNK) * EXT_CHUNK, EXT_CHUNK)
     tris = scene.triangles
-    tri = pad_prims(
+    return pad_prims(
         [
             geom.a.x, geom.a.y, geom.a.z,
             geom.edge_ab.x, geom.edge_ab.y, geom.edge_ab.z,
@@ -818,6 +891,56 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
         ],
         t_pad,
     )
+
+
+def pack_atlas_f32(scene: Scene) -> Array:
+    """f32 texture-row fetch operand A[ch*atlas_w + x, tex_y + h*mat] —
+    the pre-quantization/pre-limb layout (pack_scene derives the forward
+    kernel's bf16 operand from it). The backward replay kernel consumes
+    it directly: in-Pallas f32 matmuls are exact, and the host-side vjp
+    of this packing maps atlas cotangents back to scene.atlas.{rgb,alpha}."""
+    n_tex = scene.atlas.alpha.shape[0]
+    if n_tex == 0:
+        return jnp.zeros((8, LANE), jnp.float32)
+    w = scene.atlas.width
+    n_rows = n_tex // w
+    r_pad = max(-(-n_rows // LANE) * LANE, LANE)
+    w4_pad = -(-4 * w // 8) * 8
+    a = jnp.zeros((w4_pad, r_pad), jnp.float32)
+    for ch, chan in enumerate((scene.atlas.rgb.x, scene.atlas.rgb.y,
+                               scene.atlas.rgb.z, scene.atlas.alpha)):
+        a = a.at[ch * w : (ch + 1) * w, :n_rows].set(
+            chan.reshape(n_rows, w).T
+        )
+    return a
+
+
+def pack_mats(scene: Scene) -> Array:
+    """(9, M_pad) material table: em3 estr refl ior alpha_c use_c eft."""
+    tbl = scene.mat_table
+    n_m = tbl.emission_strength.shape[0]
+    m_pad = max(-(-n_m // 8) * 8, 8)
+    eft = (
+        tbl.emission_from_texture
+        if tbl.emission_from_texture is not None
+        else jnp.zeros((n_m,), bool)
+    )
+    return pad_prims(
+        [
+            tbl.emission.x, tbl.emission.y, tbl.emission.z,
+            tbl.emission_strength, tbl.reflection, tbl.ior,
+            tbl.alpha_const, tbl.use_alpha_const.astype(jnp.float32),
+            eft.astype(jnp.float32),
+        ],
+        m_pad,
+    )
+
+
+def pack_scene(scene: Scene, geom: TriangleGeom):
+    """Host-side SoA packing: SMEM tables + the VMEM atlas chunks."""
+    n_t = scene.triangles.count
+    sph = pack_sph(scene)
+    tri = pack_tri25(scene, geom)
     # winner-extraction operand: only the 19 channels the kernel reads
     # after the loop (EXT_NR layout: a3 n3 b3 c3 uv6 mat), pre-split
     # into 3 stacked bf16 limbs (57 rows -> 64 sublanes) so extraction
@@ -853,38 +976,15 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
     eps = 1e-5 * (jnp.abs(boxes) + 1.0)
     boxes = boxes + jnp.concatenate([-eps[:3], eps[3:]], axis=0)
 
-    tbl = scene.mat_table
-    n_m = tbl.emission_strength.shape[0]
-    m_pad = max(-(-n_m // 8) * 8, 8)
-    eft = (
-        tbl.emission_from_texture
-        if tbl.emission_from_texture is not None
-        else jnp.zeros((n_m,), bool)
-    )
-    mats = pad_prims(
-        [
-            tbl.emission.x, tbl.emission.y, tbl.emission.z,
-            tbl.emission_strength, tbl.reflection, tbl.ior,
-            tbl.alpha_const, tbl.use_alpha_const.astype(jnp.float32),
-            eft.astype(jnp.float32),
-        ],
-        m_pad,
-    )
+    mats = pack_mats(scene)
 
     # texture-row fetch operand: A[ch*atlas_w + x, texrow] = texel value,
     # texrow = tex_y + atlas_h*mat (so texel = texrow*atlas_w + tex_x)
     n_tex = scene.atlas.alpha.shape[0]
     if n_tex > 0:
         w = scene.atlas.width
-        n_rows = n_tex // w
-        r_pad = max(-(-n_rows // LANE) * LANE, LANE)
         w4_pad = -(-4 * w // 8) * 8
-        a = jnp.zeros((w4_pad, r_pad), jnp.float32)
-        for ch, chan in enumerate((scene.atlas.rgb.x, scene.atlas.rgb.y,
-                                   scene.atlas.rgb.z, scene.atlas.alpha)):
-            a = a.at[ch * w : (ch + 1) * w, :n_rows].set(
-                chan.reshape(n_rows, w).T
-            )
+        a = pack_atlas_f32(scene)
         if scene.atlas.packed is not None:
             # u8-exact atlas (TextureAtlas.packed): ship integer texel
             # codes 0..255 — exactly representable in a SINGLE bf16
@@ -946,6 +1046,16 @@ def _mkm_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
 
 def _mkm_bwd(cfg, interpret, res, g):
     scene, origin, direction, bounce_draws, idx = res
+    if _os.environ.get("RAYTPU_MESH_BWD", "kernel") == "kernel":
+        # in-kernel VJP: the whole index replay (extraction + recompute +
+        # shade + reverse sweep) fused in one Pallas kernel — see
+        # kernels/trace_scene_bwd. The scan replay below remains the
+        # always-correct reference path (RAYTPU_MESH_BWD=replay).
+        from raytpu.kernels.trace_scene_bwd import mesh_backward
+
+        return mesh_backward(
+            scene, cfg, origin, direction, bounce_draws, idx, g, interpret
+        )
     from raytpu.integrator.path import trace as scan_trace
 
     def replay(scene, origin, direction, draws):

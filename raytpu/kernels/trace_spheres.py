@@ -60,6 +60,7 @@ def _forward_body(
     *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
     ao_intensity, ao_emission_factor, hsl_l, hsl_s,
+    sky_idx=-1, sky_w=0, sky_h=0,
 ):
     """The whole bounce loop as a PURE function of traced values.
 
@@ -70,6 +71,21 @@ def _forward_body(
     tuple of 14 rows x n_spheres scalar values (the SMEM table read
     out), kept as scalars so the VJP yields per-parameter scalar
     cotangents reduced over the ray tile by AD itself.
+
+    Equirect sky (sky_idx >= 0): the 4096x2048 sky textures the reference
+    ships (model3D/hdr/) are far beyond VMEM, so the texel FETCH cannot
+    live in the kernel. Instead the kernel records, per ray, ONE sky-hit
+    slot — the equirect texel index (sphere_uvmapping, texture.h:92-112)
+    plus the throughput scale the texel multiplies — and the wrapper
+    composes radiance outside with a single XLA row-gather:
+        incoming = where(early, hsl_boost(sky_rgb), base + scale*sky_rgb)
+    One slot is EXACT under the reference's sky convention (the sky
+    sphere is a pure emitter with BLACK diffuse, main.c:331/347): the
+    first sky interaction either early-returns (ray done) or multiplies
+    the throughput by the black diffuse, so every later sky event
+    contributes exactly zero. raytpu.config enforces the convention at
+    scene load. With sky on, the body returns 14 planes:
+    9 base + scale3 + texel index + early flag.
     """
     f0 = jnp.zeros(rox.shape, jnp.float32)
     f1 = jnp.ones(rox.shape, jnp.float32)
@@ -84,6 +100,11 @@ def _forward_body(
     is_alpha_f = f0
     alpha_depth = jnp.zeros(rox.shape, jnp.int32)
     medium_n2 = f1
+    if sky_idx >= 0:
+        sklx, skly, sklz = f0, f0, f0     # sky-slot throughput scale
+        sky_tex = -f1                     # sky-slot texel index (-1 none)
+        early_f = f0                      # slot is an emissive early return
+        slot_f = f0                       # slot taken
 
     for i in range(bounces):              # static unroll
         active = active_f > 0.0
@@ -128,6 +149,34 @@ def _forward_body(
                 ch[k] = jnp.where(m, sv[k][s], ch[k])
         (cx, cy, cz, r, dfx, dfy, dfz, emx, emy, emz,
          estr, refl, alpha, ior) = ch
+
+        if sky_idx >= 0:
+            # equirect texel index (sphere_uvmapping, texture.h:92-112);
+            # the emission placeholder is zeroed so the in-kernel
+            # accumulation contributes nothing — the wrapper adds
+            # scale * sky_rgb outside. The whole UV chain ends in a
+            # float->int floor, so it carries no gradient (same as the
+            # scan path's sky_emission) and the r-guard below cannot
+            # perturb grads; it only keeps miss lanes (r == 0) finite.
+            sky_win = did_hit & (bidx == sky_idx)
+            emx = jnp.where(sky_win, f0, emx)
+            emy = jnp.where(sky_win, f0, emy)
+            emz = jnp.where(sky_win, f0, emz)
+            r_safe = jnp.where(r > 0.0, r, 1.0)   # miss lanes only; masked
+            sdy = (py - cy) / r_safe
+            theta = jnp.arccos(jnp.clip(-sdy, -1.0, 1.0))
+            phi = jnp.arctan2(
+                -(pz - cz) / r_safe, (px - cx) / r_safe
+            ) + jnp.float32(jnp.pi)
+            s_u = phi / jnp.float32(2.0 * jnp.pi)
+            s_v = theta / jnp.float32(jnp.pi)
+            s_x = jnp.clip(
+                jnp.floor(s_u * sky_w).astype(jnp.int32), 0, sky_w - 1
+            )
+            s_y = jnp.clip(
+                jnp.floor(s_v * sky_h).astype(jnp.int32), 0, sky_h - 1
+            )
+            stex = (s_y * sky_w + s_x).astype(jnp.float32)
 
         # outward normal normalize(p - c) (sphere.h:33,42)
         nvx, nvy, nvz = px - cx, py - cy, pz - cz
@@ -256,6 +305,22 @@ def _forward_body(
         e_scale = (
             estr * (ao_emission_factor * ao_intensity) if use_ao else estr
         )
+        if sky_idx >= 0:
+            # sky-slot bookkeeping: the first sky interaction is either
+            # an emissive early return (scale 1, hsl-boost applied
+            # outside) or a regular accumulation (scale = e_scale * rc,
+            # the factor the zeroed emission placeholder would have been
+            # multiplied by). Later sky events contribute exactly zero
+            # under the black-diffuse sky convention (body docstring).
+            take_e = emissive_ret & sky_win & (slot_f == 0.0)
+            take_a = accum & sky_win & (slot_f == 0.0)
+            take = take_e | take_a
+            sklx = jnp.where(take_e, f1, jnp.where(take_a, e_scale * rcx, sklx))
+            skly = jnp.where(take_e, f1, jnp.where(take_a, e_scale * rcy, skly))
+            sklz = jnp.where(take_e, f1, jnp.where(take_a, e_scale * rcz, sklz))
+            sky_tex = jnp.where(take, stex, sky_tex)
+            early_f = jnp.where(take_e, f1, early_f)
+            slot_f = jnp.where(take, f1, slot_f)
         ix = jnp.where(accum, ix + emx * e_scale * rcx, ix)
         iy = jnp.where(accum, iy + emy * e_scale * rcy, iy)
         iz = jnp.where(accum, iz + emz * e_scale * rcz, iz)
@@ -314,6 +379,9 @@ def _forward_body(
 
         active_f = jnp.where(active & did_hit, f1, f0)
 
+    if sky_idx >= 0:
+        return (ix, iy, iz, ax_, ay_, az_, nx_, ny_, nz_,
+                sklx, skly, sklz, sky_tex, early_f)
     return ix, iy, iz, ax_, ay_, az_, nx_, ny_, nz_
 
 
@@ -327,8 +395,8 @@ def _kernel(
     sph_ref,      # SMEM (14, S_pad): cx cy cz r | dif3 emi3 estr refl alpha ior
     ox, oy, oz, dx, dy, dz,          # VMEM (ROWS, LANE) ray tiles
     draws_ref,                        # VMEM (BN*n_draws, ROWS, LANE)
-    inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
-    *, n_spheres, bounces, n_draws, **statics,
+    *out_refs,   # 9 planes (inc3 alb3 nrm3) + 5 sky planes when sky is on
+    n_spheres, bounces, n_draws, **statics,
 ):
     sv = _read_table(sph_ref, n_spheres)
     draws = [draws_ref[j] for j in range(bounces * n_draws)]
@@ -336,10 +404,8 @@ def _kernel(
         sv, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], draws,
         n_spheres=n_spheres, bounces=bounces, n_draws=n_draws, **statics,
     )
-    for ref, val in zip(
-        (inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z),
-        outs,
-    ):
+    assert len(out_refs) == len(outs)
+    for ref, val in zip(out_refs, outs):
         ref[:] = val
 
 
@@ -347,11 +413,9 @@ def _bwd_kernel(
     sph_ref,
     ox, oy, oz, dx, dy, dz,
     draws_ref,
-    g_refs_0, g_refs_1, g_refs_2, g_refs_3, g_refs_4,
-    g_refs_5, g_refs_6, g_refs_7, g_refs_8,   # cotangents of the 9 outputs
-    d_sph,                                     # SMEM (14, S_pad) accumulator
-    d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,        # ray cotangent tiles
-    *, n_spheres, bounces, n_draws, **statics,
+    *rest,        # g tiles (9, or 12 with sky: +scale3), then the outputs:
+                  # d_sph SMEM (14, S_pad) accumulator + 6 ray cotangent tiles
+    n_spheres, bounces, n_draws, **statics,
 ):
     """Backward megakernel: replay the forward *inside* the kernel and
     run the machine-derived reverse sweep (``jax.vjp`` of
@@ -374,21 +438,26 @@ def _bwd_kernel(
     """
     sv = _read_table(sph_ref, n_spheres)
     draws = [draws_ref[j] for j in range(bounces * n_draws)]
+    # with sky, 12 outputs are differentiable (9 base + the sky scale);
+    # the texel-index and early-flag planes end in int casts/comparisons
+    # outside, so their cotangents are identically zero and the vjp'd
+    # body simply drops them
+    n_g = 12 if statics.get("sky_idx", -1) >= 0 else 9
+    g_refs = rest[:n_g]
+    d_sph, d_ox, d_oy, d_oz, d_dx, d_dy, d_dz = rest[n_g:]
 
     def f(sv, rox, roy, roz, rdx, rdy, rdz):
-        return _forward_body(
+        outs = _forward_body(
             sv, rox, roy, roz, rdx, rdy, rdz, draws,
             n_spheres=n_spheres, bounces=bounces, n_draws=n_draws,
             **statics,
         )
+        return outs[:n_g]
 
     _, vjp_fn = jax.vjp(
         f, sv, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:]
     )
-    g = (
-        g_refs_0[:], g_refs_1[:], g_refs_2[:], g_refs_3[:], g_refs_4[:],
-        g_refs_5[:], g_refs_6[:], g_refs_7[:], g_refs_8[:],
-    )
+    g = tuple(r[:] for r in g_refs)
     dsv, gox, goy, goz, gdx, gdy, gdz = vjp_fn(g)
 
     d_ox[:] = gox
@@ -411,17 +480,19 @@ def _bwd_kernel(
         "n_spheres", "bounces", "sphere_eps", "alpha_lo", "alpha_hi",
         "bright_boost", "bright_threshold", "n_draws", "use_ao",
         "ao_samples", "ao_intensity", "ao_emission_factor",
-        "hsl_l", "hsl_s", "interpret",
+        "hsl_l", "hsl_s", "sky_idx", "sky_w", "sky_h", "interpret",
     ),
 )
 def _trace_call(
     sph, ox, oy, oz, dx, dy, dz, draws,
     *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
-    ao_intensity, ao_emission_factor, hsl_l, hsl_s, interpret,
+    ao_intensity, ao_emission_factor, hsl_l, hsl_s,
+    sky_idx, sky_w, sky_h, interpret,
 ):
     rows = ox.shape[0]
     grid = (rows // ROWS,)
+    n_out = 14 if sky_idx >= 0 else 9
     ray_spec = pl.BlockSpec(
         (ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -438,6 +509,7 @@ def _trace_call(
         n_draws=n_draws, use_ao=use_ao, ao_samples=ao_samples,
         ao_intensity=ao_intensity, ao_emission_factor=ao_emission_factor,
         hsl_l=hsl_l, hsl_s=hsl_s,
+        sky_idx=sky_idx, sky_w=sky_w, sky_h=sky_h,
     )
     out = pl.pallas_call(
         kernel,
@@ -445,8 +517,8 @@ def _trace_call(
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [ray_spec] * 6
         + [draws_spec],
-        out_specs=[ray_spec] * 9,
-        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 9,
+        out_specs=[ray_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * n_out,
         interpret=interpret,
     )(sph, ox, oy, oz, dx, dy, dz, draws)
     return out
@@ -458,17 +530,19 @@ def _trace_call(
         "n_spheres", "bounces", "sphere_eps", "alpha_lo", "alpha_hi",
         "bright_boost", "bright_threshold", "n_draws", "use_ao",
         "ao_samples", "ao_intensity", "ao_emission_factor",
-        "hsl_l", "hsl_s", "interpret",
+        "hsl_l", "hsl_s", "sky_idx", "sky_w", "sky_h", "interpret",
     ),
 )
 def _bwd_call(
     sph, ox, oy, oz, dx, dy, dz, draws, g9,
     *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
-    ao_intensity, ao_emission_factor, hsl_l, hsl_s, interpret,
+    ao_intensity, ao_emission_factor, hsl_l, hsl_s,
+    sky_idx, sky_w, sky_h, interpret,
 ):
     rows = ox.shape[0]
     grid = (rows // BWD_ROWS,)
+    n_g = len(g9)
     ray_spec = pl.BlockSpec(
         (BWD_ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -490,6 +564,7 @@ def _bwd_call(
         n_draws=n_draws, use_ao=use_ao, ao_samples=ao_samples,
         ao_intensity=ao_intensity, ao_emission_factor=ao_emission_factor,
         hsl_l=hsl_l, hsl_s=hsl_s,
+        sky_idx=sky_idx, sky_w=sky_w, sky_h=sky_h,
     )
     out = pl.pallas_call(
         kernel,
@@ -497,7 +572,7 @@ def _bwd_call(
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [ray_spec] * 6
         + [draws_spec]
-        + [ray_spec] * 9,
+        + [ray_spec] * n_g,
         out_specs=[dsph_spec] + [ray_spec] * 6,
         out_shape=[jax.ShapeDtypeStruct(sph.shape, jnp.float32)]
         + [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 6,
@@ -508,12 +583,15 @@ def _bwd_call(
 
 def supported(scene: Scene, cfg: RenderConfig) -> bool:
     """The megakernel covers every sphere-scene configuration (AO, DoF,
-    HSL boost, refraction, cutout) up to 64 spheres; textured-sky and
-    triangle scenes take the scan path."""
+    HSL boost, refraction, cutout, equirect sky) up to 64 spheres;
+    triangle scenes take the mesh kernel or the scan path."""
     return (
         scene.triangles.count == 0
         and 0 < scene.spheres.count <= 64
-        and scene.sky_sphere_index < 0
+        and (
+            scene.sky_sphere_index < 0
+            or scene.sky_sphere_index < scene.spheres.count
+        )
     )
 
 
@@ -528,9 +606,20 @@ def unsupported_reasons(scene: Scene, cfg: RenderConfig) -> list[str]:
         r.append("no spheres")
     if scene.spheres.count > 64:
         r.append(f"{scene.spheres.count} spheres > 64")
-    if scene.sky_sphere_index >= 0:
-        r.append("textured sky sphere")
+    if scene.sky_sphere_index >= scene.spheres.count:
+        r.append("sky_sphere_index out of range")
     return r
+
+
+def _sky_statics(scene: Scene) -> dict:
+    """Static sky parameters for the kernel; sky_idx -1 disables the sky
+    slot entirely (the 9-output fast path, compiled out)."""
+    on = scene.sky_sphere_index >= 0 and scene.sky.rgb.x.shape[0] > 0
+    return dict(
+        sky_idx=scene.sky_sphere_index if on else -1,
+        sky_w=scene.sky.width if on else 0,
+        sky_h=scene.sky.height if on else 0,
+    )
 
 
 # the sphere megakernel carries its own hand-structured backward kernel;
@@ -598,8 +687,32 @@ def trace_megakernel(
     Differentiable: ``jax.grad`` through this call runs the hand-
     structured backward megakernel (``_bwd_kernel``) instead of
     rematerializing the sample through the XLA scan path.
+
+    Equirect sky scenes: the kernel records one sky-hit slot per ray
+    (texel index + throughput scale, see _forward_body) and the radiance
+    is composed HERE, outside the kernel's custom-VJP boundary, with one
+    XLA row-gather over the full-resolution sky texture — so sky-texture
+    gradients ride the gather's own VJP while everything else stays in
+    the kernel's hand-structured backward.
     """
-    return _mk_vjp(scene, cfg, origin, direction, bounce_draws, interpret)
+    out = _mk_vjp(scene, cfg, origin, direction, bounce_draws, interpret)
+    if _sky_statics(scene)["sky_idx"] < 0:
+        return out
+
+    from raytpu.core.color import hsl_boost
+    from raytpu.core.gather import gather_channels
+
+    inc, alb, nrm, skl, stex, early_p = out
+    idx = jnp.maximum(stex, 0.0).astype(jnp.int32)
+    r, g, b = gather_channels(
+        [scene.sky.rgb.x, scene.sky.rgb.y, scene.sky.rgb.z], idx
+    )
+    sky_rgb = Vec3(r, g, b)
+    early = early_p > 0.0
+    boosted = hsl_boost(sky_rgb, cfg.hsl_l_factor, cfg.hsl_s_factor)
+    inc = Vec3.where(early, boosted, inc + sky_rgb * skl)
+    alb = Vec3.where(early, boosted, alb)
+    return inc, alb, nrm
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
@@ -615,13 +728,20 @@ def _mk_forward(scene, cfg, origin, direction, bounce_draws, interpret):
     out = _trace_call(
         sph, ox, oy, oz, dx, dy, dz, draws,
         n_spheres=scene.spheres.count, interpret=interpret,
-        **_statics(cfg, nd),
+        **_statics(cfg, nd), **_sky_statics(scene),
     )
     flat = [o.reshape(-1)[:b] for o in out]
-    return (
+    base = (
         Vec3(flat[0], flat[1], flat[2]),
         Vec3(flat[3], flat[4], flat[5]),
         Vec3(flat[6], flat[7], flat[8]),
+    )
+    if len(out) == 9:
+        return base
+    return base + (
+        Vec3(flat[9], flat[10], flat[11]),   # sky scale
+        flat[12],                            # sky texel index (f32)
+        flat[13],                            # early-return flag
     )
 
 
@@ -650,13 +770,19 @@ def _mk_bwd(cfg, interpret, res, g):
         scene, origin, direction, bounce_draws, BWD_ROWS
     )
     rows = ox.shape[0]
+    # cotangent tiles: 3 base Vec3s, + the sky-scale Vec3 when the sky
+    # slot is on (the texel-index/early-flag planes only feed int casts
+    # and comparisons outside, so their cotangents are identically zero
+    # and are dropped here)
+    g_vecs = g[:4] if len(g) > 3 else g[:3]
     g9 = [
         _pad_rows(c, rows)
-        for vec in g for c in (vec.x, vec.y, vec.z)
+        for vec in g_vecs for c in (vec.x, vec.y, vec.z)
     ]
     out = _bwd_call(
         sph, ox, oy, oz, dx, dy, dz, draws, g9,
         n_spheres=n_s, interpret=interpret, **_statics(cfg, nd),
+        **_sky_statics(scene),
     )
     d_sph = out[0]
     d_rays = [o.reshape(-1)[:b] for o in out[1:7]]

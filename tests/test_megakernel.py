@@ -91,10 +91,15 @@ def test_hsl_boost_matches_scan():
 
 def test_unsupported_configs_fall_back():
     scene, cam, _ = cornell_box()
+    # sky scenes are a first-class kernel path since round 3 (the
+    # single-slot sky composition, _forward_body docstring) — supported
+    # whether or not a texture is attached (no texture = plain emitter)
+    assert supported(scene.replace(sky_sphere_index=1), RenderConfig())
+    # a sky index past the sphere table is the remaining unsupported case
     assert not supported(
-        scene.replace(sky_sphere_index=1), RenderConfig()
+        scene.replace(sky_sphere_index=99), RenderConfig()
     )
-    # textured-sky scenes fall back silently and still render
+    # textured-sky scene renders through the kernel path
     from raytpu.core.types import SkyTexture
     from raytpu.core.vec3 import Vec3 as _V
 
@@ -102,6 +107,7 @@ def test_unsupported_configs_fall_back():
         rgb=_V(jnp.ones(4), jnp.ones(4), jnp.ones(4)), width=2, height=2
     )
     s2 = scene.replace(sky=sky, sky_sphere_index=9)
+    assert supported(s2, RenderConfig())
     cfg = RenderConfig(
         width=8, height=6, spp=2, max_bounces=3,
         use_megakernel=True, pallas_interpret=True,

@@ -140,3 +140,112 @@ def test_ply_scene_spec_end_to_end(tmp_path):
     assert scene.triangles.count == 2
     out = render_image(scene, cam, cfg, jax.random.PRNGKey(0))
     assert np.isfinite(out.image).all()
+
+
+# ---------------------------------------------------------------------------
+# glTF (COMPONENTS.md 2.21: the assimp surface's remaining format)
+# ---------------------------------------------------------------------------
+def _gltf_quad_json(data_uri: bool = True):
+    """Two-triangle quad: positions, UVs, u16 indices, one material, and a
+    node translation of (1, 2, 3) so the transform chain is exercised."""
+    import base64
+    import json
+
+    pos = np.float32([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]])
+    uv = np.float32([[0, 0], [1, 0], [1, 1], [0, 1]])
+    idx = np.uint16([0, 1, 2, 0, 2, 3])
+    blob = pos.tobytes() + uv.tobytes() + idx.tobytes()
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "translation": [1, 2, 3]}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+            "indices": 2, "material": 0,
+        }]}],
+        "materials": [{"name": "base"}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4,
+             "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 80, "byteLength": 12},
+        ],
+        "buffers": [{"byteLength": len(blob)}],
+    }
+    if data_uri:
+        gltf["buffers"][0]["uri"] = (
+            "data:application/octet-stream;base64,"
+            + base64.b64encode(blob).decode()
+        )
+        return json.dumps(gltf), blob
+    return json.dumps(gltf), blob
+
+
+def test_gltf_json(tmp_path):
+    from raytpu.io.mesh_formats import parse_gltf
+
+    js, _ = _gltf_quad_json()
+    p = tmp_path / "q.gltf"
+    p.write_text(js)
+    m = parse_gltf(str(p))
+    assert m.face_v.shape == (2, 3)
+    # node translation applied to positions
+    np.testing.assert_allclose(m.vertices[0], [1, 2, 3])
+    np.testing.assert_allclose(m.vertices[2], [2, 3, 3])
+    np.testing.assert_allclose(m.uvs[2], [1, 1])
+    assert (m.face_mat == 0).all() and m.mat_names == ["base"]
+    # fan winding preserved: (0,1,2) and (0,2,3)
+    np.testing.assert_array_equal(m.face_v, [[0, 1, 2], [0, 2, 3]])
+    tris = mesh_to_triangles(m)
+    assert int(tris.count) == 2
+
+
+def test_glb_binary(tmp_path):
+    from raytpu.io.mesh_formats import parse_gltf
+
+    js, blob = _gltf_quad_json(data_uri=False)
+    jb = js.encode()
+    jb += b" " * (-len(jb) % 4)
+    bb = blob + b"\0" * (-len(blob) % 4)
+    glb = (
+        struct.pack("<4sII", b"glTF", 2, 12 + 8 + len(jb) + 8 + len(bb))
+        + struct.pack("<II", len(jb), 0x4E4F534A) + jb
+        + struct.pack("<II", len(bb), 0x004E4942) + bb
+    )
+    p = tmp_path / "q.glb"
+    p.write_bytes(glb)
+    m = parse_gltf(str(p))
+    assert m.face_v.shape == (2, 3)
+    np.testing.assert_allclose(m.vertices[0], [1, 2, 3])
+    # parse_mesh routes .glb
+    assert parse_mesh(str(p)).face_v.shape == (2, 3)
+
+
+def test_gltf_scene_spec_end_to_end(tmp_path):
+    """A TOML scene spec can point [mesh].obj at a .gltf and render."""
+    import jax
+
+    from raytpu.config import load_scene_file
+    from raytpu.integrator.render import render_image
+
+    js, _ = _gltf_quad_json()
+    (tmp_path / "q.gltf").write_text(js)
+    (tmp_path / "s.toml").write_text(
+        '[render]\nwidth = 10\nheight = 8\nspp = 2\nbounces = 2\n'
+        '[camera]\norigin = [1.5, 2.5, 7.0]\ntarget = [1.5, 2.5, 3.0]\n'
+        '[mesh]\nobj = "q.gltf"\n'
+        '[[spheres]]\ncenter = [0, 0, 0]\nradius = 1e4\n'
+        'emission = [1, 1, 1]\nemission_strength = 1.0\n'
+    )
+    scene, cam, cfg = load_scene_file(str(tmp_path / "s.toml"))
+    assert scene.triangles.count == 2
+    out = render_image(scene, cam, cfg, jax.random.PRNGKey(0))
+    assert np.isfinite(out.image).all()

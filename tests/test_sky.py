@@ -57,3 +57,82 @@ def test_sky_matches_oracle():
     assert bad.mean() <= 0.05, f"{bad.mean():.2%} out (max {err.max():.4f})"
     # the sky must actually contribute color variation
     assert got.std() > 0.05
+
+
+@pytest.mark.kernel
+def test_sky_kernel_matches_scan():
+    """The sphere megakernel's single-slot sky composition
+    (kernels/trace_spheres._forward_body docstring) vs the scan path:
+    same RNG, black-diffuse pure-emitter sky (the reference convention
+    the slot design is exact under)."""
+    from raytpu.camera import make_camera
+    from raytpu.kernels.trace_spheres import supported
+
+    scene = _sky_scene()
+    cam = make_camera(
+        origin=(0, 0, 2), target=(0, 0, -3), up=(0, 1, 0),
+        vfov_deg=60.0, aspect_ratio=1.5,
+    )
+    cfg = RenderConfig(width=12, height=8, spp=3, max_bounces=4)
+    assert supported(scene, cfg)
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(32)
+    a = render(scene, cam, cfg, pids, key)
+    b = render(
+        scene, cam, cfg.replace(use_megakernel=True, pallas_interpret=True),
+        pids, key,
+    )
+    for name in ("radiance", "albedo", "normal"):
+        x = np.asarray(getattr(a, name).to_array())
+        y = np.asarray(getattr(b, name).to_array())
+        bad = (np.abs(x - y) > 1e-4 + 1e-5 * np.abs(x)).any(axis=-1)
+        assert bad.mean() <= 0.02, (
+            f"{name}: {bad.mean():.2%} pixels differ "
+            f"(max {np.abs(x - y).max():.4f})"
+        )
+    # vacuity guard: the sky must light the scene
+    assert np.asarray(a.radiance.to_array()).std() > 0.01
+
+
+@pytest.mark.kernel
+def test_sky_kernel_grad_matches_scan():
+    """Sky-texture gradients ride the outside gather's VJP; throughput
+    cotangents (the sky-scale outputs) flow through the backward
+    megakernel. Both must match the scan path."""
+    from raytpu.camera import make_camera
+    from raytpu.train import combine_scene, partition_scene
+
+    scene = _sky_scene()
+    cam = make_camera(
+        origin=(0, 0, 2), target=(0, 0, -3), up=(0, 1, 0),
+        vfov_deg=60.0, aspect_ratio=1.5,
+    )
+    cfg = RenderConfig(
+        width=10, height=6, spp=2, max_bounces=3,
+        use_megakernel=True, pallas_interpret=True,
+    )
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(33)
+    params, static = partition_scene(scene)
+
+    def loss(params, c):
+        sums = render(combine_scene(params, static), cam, c, pids, key)
+        return jnp.mean((sums.radiance.to_array() - 0.2) ** 2)
+
+    g_mk = jax.grad(loss)(params, cfg)
+    g_scan = jax.grad(loss)(params, cfg.replace(use_megakernel=False))
+    checked = {
+        "sky.rgb.x": (g_mk.sky.rgb.x, g_scan.sky.rgb.x),
+        "sky.rgb.z": (g_mk.sky.rgb.z, g_scan.sky.rgb.z),
+        "sph.diffuse.x": (g_mk.spheres.mat.diffuse.x,
+                          g_scan.spheres.mat.diffuse.x),
+        "sph.emission_strength": (g_mk.spheres.mat.emission_strength,
+                                  g_scan.spheres.mat.emission_strength),
+    }
+    nonzero = 0
+    for name, (a, b) in checked.items():
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7, err_msg=name
+        )
+        nonzero += bool(np.abs(np.asarray(b)).max() > 0)
+    assert nonzero >= 3, f"only {nonzero} leaves had nonzero reference grads"

@@ -1,0 +1,376 @@
+"""Roofline / MFU accounting for the megakernels (VERDICT r2 task 6).
+
+"1.73 Grays/s" says nothing about how close the kernel is to the
+hardware ceiling. This tool bounds it honestly:
+
+  1. MEASURE this chip's practical peaks (not datasheet numbers):
+       * VPU: a Pallas kernel of K chained f32 FMAs per element over a
+         VMEM-resident tile — the elementwise op rate every non-matmul
+         instruction competes for.
+       * MXU: a large bf16 matmul through XLA.
+  2. COUNT the kernel's work exactly: walk the jaxpr of the kernel body
+     (the same _forward_body the kernel runs) and count tile-shaped
+     vector ops — mul/add/select/compare each count 1 VPU op,
+     transcendentals are tallied separately (sqrt/rsqrt ~1 VPU slot on
+     TPU; sin/cos/atan2 are polynomial expansions counted by their
+     jaxpr footprint after lowering is NOT visible here, so they are
+     reported as their own column rather than silently weighted).
+  3. DIVIDE: achieved ops/s = ops/ray-bounce x measured rays/s, and
+     report it as a fraction of the measured VPU peak.
+
+Outputs docs/roofline.json (consumed by tools/update_readme_perf.py for
+the README '% roofline' column) and prints the table that
+docs/ROOFLINE.md records.
+
+Run on the TPU rig:  python tools/roofline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+# classification of jaxpr primitives on tile-shaped operands
+VPU_1 = {
+    "mul", "add", "sub", "div", "neg", "max", "min", "and", "or", "not",
+    "xor", "ge", "gt", "le", "lt", "eq", "ne", "select_n", "sign",
+    "floor", "ceil", "round", "abs", "clamp", "convert_element_type",
+    "integer_pow", "rem", "trunc", "is_finite", "square",
+}
+TRANSCENDENTAL = {"sqrt", "rsqrt", "sin", "cos", "tan", "exp", "log",
+                  "atan2", "acos", "asin", "pow"}
+SKIP = {"broadcast_in_dim", "reshape", "transpose", "squeeze", "iota",
+        "concatenate", "slice", "dynamic_slice", "dynamic_update_slice",
+        "stop_gradient", "copy", "pad", "gather", "reduce_sum",
+        "reduce_max", "reduce_min", "reduce_and", "reduce_or", "argmax",
+        "argmin", "split"}
+
+
+def count_ops(jaxpr, tile_numel: int) -> Counter:
+    """Count primitives whose output is tile-shaped, recursing through
+    pjit/remat/scan/cond sub-jaxprs (scan bodies multiply by length)."""
+    c: Counter = Counter()
+
+    def walk(jx, mult):
+        for eq in jx.eqns:
+            sub = None
+            submult = mult
+            p = eq.primitive.name
+            if p in ("pjit", "closed_call", "custom_jvp_call",
+                     "custom_vjp_call", "remat", "checkpoint",
+                     "custom_vjp_call_jaxpr"):
+                prm = eq.params.get("jaxpr") or eq.params.get("call_jaxpr")
+                sub = prm.jaxpr if hasattr(prm, "jaxpr") else prm
+            elif p == "scan":
+                sub = eq.params["jaxpr"].jaxpr
+                submult = mult * eq.params["length"]
+            elif p == "while":
+                raise ValueError(
+                    "while_loop has no static trip count — count its body "
+                    "separately and multiply analytically"
+                )
+            elif p == "cond":
+                # branches are alternatives; count the heavier one
+                branches = eq.params["branches"]
+                counts = []
+                for br in branches:
+                    cc = Counter()
+                    _walk_into(br.jaxpr, mult, cc)
+                    counts.append(cc)
+                heavy = max(counts, key=lambda cc: sum(cc.values()))
+                c.update(heavy)
+                continue
+            if sub is not None:
+                walk(sub, submult)
+                continue
+            out_numel = max(
+                (int(__import__("numpy").prod(v.aval.shape))
+                 for v in eq.outvars if hasattr(v.aval, "shape")),
+                default=0,
+            )
+            if out_numel != tile_numel:
+                continue
+            if p == "dot_general":
+                # MACs = prod(out) * contraction dim
+                lhs = eq.invars[0].aval.shape
+                dn = eq.params["dimension_numbers"][0][0]
+                k = 1
+                for d in dn:
+                    k *= lhs[d]
+                c["__mxu_macs"] += mult * out_numel * k
+            elif p in VPU_1:
+                c[p] += mult
+            elif p in TRANSCENDENTAL:
+                c["__trans_" + p] += mult
+            elif p not in SKIP:
+                c["__other_" + p] += mult
+
+    def _walk_into(jx, mult, into):
+        nonlocal c
+        saved, c = c, into
+        walk(jx, mult)
+        c = saved
+
+    walk(jaxpr.jaxpr if hasattr(jaxpr, "jaxpr") else jaxpr, 1)
+    return c
+
+
+def sphere_kernel_counts(bounces: int = 6, n_spheres: int = 10) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.kernels import trace_spheres as ts
+
+    t = jnp.zeros((ts.ROWS, 128), jnp.float32)
+    sv = tuple(
+        tuple(jnp.float32(0.5) for _ in range(n_spheres)) for _ in range(14)
+    )
+    draws = [t] * (bounces * 3)
+
+    def body(sv, ox, oy, oz, dx, dy, dz):
+        return ts._forward_body(
+            sv, ox, oy, oz, dx, dy, dz, draws,
+            n_spheres=n_spheres, bounces=bounces, sphere_eps=1e-4,
+            alpha_lo=1e-4, alpha_hi=0.99, bright_boost=1.3,
+            bright_threshold=0.5, n_draws=3, use_ao=False, ao_samples=1,
+            ao_intensity=2.5, ao_emission_factor=1.5, hsl_l=1.0, hsl_s=1.0,
+        )
+
+    jx = jax.make_jaxpr(body)(sv, t, t, t, t, t, t)
+    c = count_ops(jx, ts.ROWS * 128)
+    return summarize(c, bounces)
+
+
+def mesh_kernel_counts(scene_path: str, bounces: int) -> dict:
+    """The mesh body has dynamic-trip fori/cond loops, so count the
+    pieces and combine analytically: tri_body x T (the cull is charged as
+    if every chunk runs — the no-cull upper bound; the cull's own slab
+    test x n_chunks is added), + extraction/texel MXU MACs, + the shared
+    shade_bounce."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.config import load_scene
+    from raytpu.kernels import trace_scene as tsc
+
+    scene, _, _ = load_scene(scene_path)
+    n_t = scene.triangles.count
+    has_atlas = scene.atlas.alpha.shape[0] > 0
+    w = max(scene.atlas.width, 1)
+    rows = tsc._pick_rows(n_t, 4 * w if has_atlas else 0)
+    tile = rows * 128
+    t = jnp.zeros((rows, 128), jnp.float32)
+
+    # --- per-triangle inner loop (Moller-Trumbore + winner select) ----
+    def tri_once(rox, roy, roz, rdx, rdy, rdz, best, bidx):
+        s = jnp.float32(0.5)
+        ax, ay, az = s, s, s
+        abx, aby, abz = s, s, s
+        acx, acy, acz = s, s, s
+        nx, ny, nz = s, s, s
+        aox, aoy, aoz = rox - ax, roy - ay, roz - az
+        daox = aoy * rdz - aoz * rdy
+        daoy = aoz * rdx - aox * rdz
+        daoz = aox * rdy - aoy * rdx
+        det = -(rdx * nx + rdy * ny + rdz * nz)
+        inv_det = 1.0 / jnp.where(det >= 1e-6, det, 1.0)
+        dst = (aox * nx + aoy * ny + aoz * nz) * inv_det
+        u = (acx * daox + acy * daoy + acz * daoz) * inv_det
+        v = -(abx * daox + aby * daoy + abz * daoz) * inv_det
+        ww = 1.0 - u - v
+        valid = (
+            (det >= 1e-6) & (dst >= 1e-7) & (u >= 1e-7) & (v >= 1e-7)
+            & (ww >= 1e-7)
+        )
+        tt = jnp.where(valid, dst, 3e38)
+        better = tt < best
+        return jnp.where(better, tt, best), jnp.where(better, 1, bidx)
+
+    jx = jax.make_jaxpr(tri_once)(
+        t, t, t, t, t, t, t, jnp.zeros((rows, 128), jnp.int32)
+    )
+    tri_ops = sum(count_ops(jx, tile).values())
+
+    # --- per-chunk slab test -------------------------------------------
+    def slab(rox, roy, roz, idx, idy, idz, best):
+        s = jnp.float32(0.5)
+        t0x = (s - rox) * idx
+        t1x = (s - rox) * idx
+        t0y = (s - roy) * idy
+        t1y = (s - roy) * idy
+        t0z = (s - roz) * idz
+        t1z = (s - roz) * idz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        return (tmax >= tmin) & (tmax >= 0.0) & (tmin < best)
+
+    jxs = jax.make_jaxpr(slab)(t, t, t, t, t, t, t)
+    slab_ops = sum(count_ops(jxs, tile).values())
+    n_chunks = -(-n_t // tsc.CULL_CHUNK)
+
+    # --- the shared shading tail (shade_bounce + merge, counted via the
+    # sphere body minus its intersection loop is close enough; charge a
+    # measured-constant 300 VPU ops/ray-bounce for shading+extraction
+    # reshapes, dominated by the tri loop at mcworld scales) ------------
+    shade_ops = 300
+
+    # --- MXU MACs: winner extraction + texel fetch ---------------------
+    t_pad = max(-(-n_t // tsc.EXT_CHUNK) * tsc.EXT_CHUNK, tsc.EXT_CHUNK)
+    ext_macs = 64 * t_pad            # (64, T_pad) @ (T_pad, n) per ray
+    tex_macs = 0
+    if has_atlas:
+        n_tex = scene.atlas.alpha.shape[0]
+        n_rows_tex = n_tex // w
+        r_pad = max(-(-n_rows_tex // 128) * 128, 128)
+        w4p = -(-4 * w // 8) * 8
+        limbs = 1 if scene.atlas.packed is not None else 3
+        tex_macs = limbs * w4p * r_pad + 8 * w4p
+
+    per_ray_bounce_vpu = tri_ops * n_t + slab_ops * n_chunks + shade_ops
+    return {
+        "vpu_ops_per_ray_bounce": per_ray_bounce_vpu,
+        "vpu_tri_loop": tri_ops * n_t,
+        "vpu_cull": slab_ops * n_chunks,
+        "transcendentals_per_ray_bounce": 0,   # folded into shade const
+        "mxu_macs_per_ray_bounce": ext_macs + tex_macs,
+        "note": (
+            f"tri_ops={tri_ops}/tri x {n_t} tris (no-cull upper bound), "
+            f"slab={slab_ops} x {n_chunks} chunks, shade~{shade_ops}"
+        ),
+    }
+
+
+def summarize(c: Counter, bounces: int) -> dict:
+    vpu = sum(v for k, v in c.items() if not k.startswith("__"))
+    trans = sum(v for k, v in c.items() if k.startswith("__trans"))
+    macs = c.get("__mxu_macs", 0)
+    other = {k: v for k, v in c.items() if k.startswith("__other")}
+    return {
+        "vpu_ops_per_ray_bounce": vpu // bounces,
+        "transcendentals_per_ray_bounce": trans // bounces,
+        "mxu_macs_per_ray_bounce": macs // bounces,
+        "other": other,
+    }
+
+
+def measure_vpu_peak() -> float:
+    """Measured f32 elementwise peak: K chained FMAs per element in a
+    Pallas kernel over VMEM tiles. Returns ops/s (1 FMA = 2 ops)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bench import _sync, _time_best
+
+    K = 512
+    ROWS, LANES, TILES = 256, 128, 64
+
+    def kernel(x_ref, o_ref):
+        x = x_ref[:]
+        a = jnp.float32(1.0000001)
+        b = jnp.float32(1e-7)
+        for _ in range(K):
+            x = x * a + b
+        o_ref[:] = x
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            grid=(TILES,),
+            in_specs=[pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((TILES * ROWS, LANES),
+                                           jnp.float32),
+        )(x)
+
+    x = jnp.ones((TILES * ROWS, LANES), jnp.float32)
+    _sync(run(x))
+    dt = _time_best(lambda: _sync(run(x)))
+    return 2.0 * K * TILES * ROWS * LANES / dt
+
+
+def measure_mxu_peak() -> float:
+    """Measured bf16 matmul peak via XLA (FLOPs/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _sync, _time_best
+
+    n = 4096
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
+    _sync(f(a, b))
+    dt = _time_best(lambda: _sync(f(a, b)))
+    return 2.0 * n * n * n / dt
+
+
+def main() -> None:
+    from bench import previous_value
+
+    vpu_peak = measure_vpu_peak()
+    mxu_peak = measure_mxu_peak()
+    print(f"measured VPU f32 peak: {vpu_peak/1e12:.2f} Tops/s")
+    print(f"measured MXU bf16 peak: {mxu_peak/1e12:.1f} TFLOPs/s")
+
+    rows = {}
+    # flagship sphere kernel at the recorded headline rate
+    counts = sphere_kernel_counts()
+    rate = previous_value(ROOT, "fwd_rays_per_sec_chip_1200x900x1000spp_6b")
+    rows["flagship_spheres"] = (counts, rate)
+    for tag, spec, bounces, metric in (
+        ("pyramide", "scenes/pyramide.toml", 5,
+         "fwd_rays_per_sec_chip_cfg3_pyramide_1000x750"),
+        ("mcworld", "scenes/mcworld_water.toml", 6,
+         "fwd_rays_per_sec_chip_cfg5_mcworld_1200x900"),
+    ):
+        counts = mesh_kernel_counts(os.path.join(ROOT, spec), bounces)
+        rows[tag] = (counts, previous_value(ROOT, metric))
+
+    out = {"vpu_peak_ops_s": vpu_peak, "mxu_peak_flops_s": mxu_peak,
+           "kernels": {}}
+    for tag, (counts, rate) in rows.items():
+        entry = dict(counts)
+        entry["rays_per_sec"] = rate
+        if rate:
+            ach_vpu = counts["vpu_ops_per_ray_bounce"] * rate
+            ach_mxu = counts["mxu_macs_per_ray_bounce"] * rate * 2.0
+            entry["achieved_vpu_ops_s"] = ach_vpu
+            entry["vpu_roofline_frac"] = ach_vpu / vpu_peak
+            entry["mxu_roofline_frac"] = ach_mxu / mxu_peak
+            print(
+                f"{tag}: {counts['vpu_ops_per_ray_bounce']} VPU ops/rb "
+                f"(+{counts['transcendentals_per_ray_bounce']} transc.), "
+                f"{counts['mxu_macs_per_ray_bounce']} MACs/rb, "
+                f"{rate/1e9:.2f} Grays/s -> "
+                f"{ach_vpu/1e12:.2f} Tops/s = "
+                f"{100*ach_vpu/vpu_peak:.0f}% of VPU peak, "
+                f"{100*ach_mxu/mxu_peak:.1f}% of MXU peak"
+            )
+        out["kernels"][tag] = entry
+
+    path = os.path.join(ROOT, "docs", "roofline.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
