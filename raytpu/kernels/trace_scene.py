@@ -307,7 +307,17 @@ def shade_bounce(
     medium_n2 = jnp.where(refr_case & ~exiting, ior, medium_n2)
     n1s = n1_ * n1_
     n2s_ = n2_ * n2_
-    ratio = jnp.clip(n1s / jnp.maximum(n2s_, 1e-20), 0.0, 1e6)
+    # select-based floor, NOT jnp.maximum: non-refractive materials carry
+    # ior == 0, so n2s_ == 0 exactly on their lanes, and the div VJP's
+    # d_y = -g * x / y^2 computes x/y^2 = inf there; with the cotangent g
+    # zeroed by the refr_case selects that discard ref* on those lanes,
+    # Mosaic's op order materializes 0 * inf = NaN (XLA's happened not
+    # to — compiled-TPU grads NaN'd while interpret passed). The select
+    # cuts the chain with an exact 0. Guarded lanes' ratio value changes
+    # (n1s instead of 1e6) but is discarded by the same selects;
+    # refracting lanes (n2s_ > 1e-20) are bit-identical.
+    n2s_safe = jnp.where(n2s_ > 1e-20, n2s_, 1.0)
+    ratio = jnp.clip(n1s / n2s_safe, 0.0, 1e6)
     ndotv = nex * rdx + ney * rdy + nez * rdz
     radical = 1.0 - (ratio * ratio) * (1.0 - ndotv * ndotv)
     ct_scale = rdx * nex + rdy * ney + rdz * nez

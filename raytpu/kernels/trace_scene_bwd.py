@@ -23,11 +23,15 @@ sphere_distance_one, op-for-op), and shading is the SAME ``shade_bounce``
 the forward kernel runs — so gradients match use_megakernel=False
 (tests/test_mesh_megakernel.py grad tests).
 
-Memory discipline: each bounce is ``jax.checkpoint``'d, so AD saves only
-the 22-plane carry per bounce and rematerializes the bounce (extraction
-one-hots included) during the reverse sweep — without this, the
-(texrows, rays) one-hot operands would be held as residuals for every
-bounce at once (~MBs/bounce) and overflow VMEM at depth.
+Memory discipline: the large transients — the (EXT_CHUNK, rays)
+extraction one-hots and the (texrows, rays) fetch one-hot/mask — are
+kept out of AD's residual set by custom VJPs that recompute them from
+the saved integer planes during the reverse sweep
+(_extract_channels/_fetch_texels); without this they would be held as
+residuals for every bounce at once (~MBs/bounce) and overflow VMEM at
+depth. On the interpret-mode scan path each bounce is additionally
+``jax.checkpoint``'d; the unrolled Mosaic path cannot be (remat2 has no
+Mosaic lowering rule) and does not need to be.
 
 Parameter cotangents are accumulated across sequential grid steps:
 sphere/material tables as SMEM scalars (AD inserts the over-tile
@@ -82,7 +86,8 @@ from raytpu.kernels.trace_scene import (
 BWD_ROWS = 8
 
 
-def _extract_channels(tri_t: Array, sel_flat: Array) -> Array:
+@jax.custom_vjp
+def _extract_channels(tri_t: Array, sel_f: Array) -> Array:
     """Winner-channel extraction: (R, T_pad) f32 table x one-hot -> (R, n).
 
     Exact: f32 ``jnp.dot`` inside Pallas lowers to full-precision MXU
@@ -90,22 +95,105 @@ def _extract_channels(tri_t: Array, sel_flat: Array) -> Array:
     passes; the backward runs once per tile, so it takes the exact dot
     directly), and a one-hot contraction has a single nonzero term per
     output — so this equals the scan path's row-gather bit-for-bit.
-    Statically chunked (reverse-AD needs unrolled loops, not fori_loop)
-    so the transient one-hot stays (EXT_CHUNK, n). Its AD transpose is
-    d_table += g @ onehot^T — the MXU-friendly scatter-add the module
-    docstring promises.
+    Statically chunked so the transient one-hot stays (EXT_CHUNK, n).
+
+    custom_vjp: the hand-written pullback recomputes the one-hot from
+    ``sel_f`` (an f32-carried lane index; zero cotangent) and scatters
+    d_table = g @ onehot^T — one MXU matmul per chunk. Without it, AD
+    would SAVE every (EXT_CHUNK, n) one-hot as a residual per bounce
+    (512KB each), which both overflows VMEM at depth and — on the
+    unrolled Mosaic path, where jax.checkpoint cannot lower (remat2 has
+    no Mosaic rule) — could not be rematerialized away.
     """
-    n = sel_flat.shape[1]
-    t_pad = tri_t.shape[1]
+    return _extract_fwd(tri_t, sel_f)[0]
+
+
+def _ext_onehot(sel_f: Array, c: int, n: int) -> Array:
     ext_iota = jax.lax.broadcasted_iota(jnp.int32, (EXT_CHUNK, n), 0)
+    sel = sel_f.astype(jnp.int32)
+    return (ext_iota == sel - c * EXT_CHUNK).astype(jnp.float32)
+
+
+def _extract_fwd(tri_t: Array, sel_f: Array):
+    n = sel_f.shape[1]
+    t_pad = tri_t.shape[1]
     acc = jnp.zeros((tri_t.shape[0], n), jnp.float32)
     for c in range(t_pad // EXT_CHUNK):
-        onehot = (ext_iota == sel_flat - c * EXT_CHUNK).astype(jnp.float32)
         acc = acc + jnp.dot(
-            tri_t[:, c * EXT_CHUNK : (c + 1) * EXT_CHUNK], onehot,
+            tri_t[:, c * EXT_CHUNK : (c + 1) * EXT_CHUNK],
+            _ext_onehot(sel_f, c, n),
             preferred_element_type=jnp.float32,
         )
-    return acc
+    return acc, (sel_f, t_pad)
+
+
+def _extract_bwd(res, g):
+    sel_f, t_pad = res
+    n = sel_f.shape[1]
+    chunks = [
+        jnp.dot(g, _ext_onehot(sel_f, c, n).T,
+                preferred_element_type=jnp.float32)
+        for c in range(t_pad // EXT_CHUNK)
+    ]
+    return jnp.concatenate(chunks, axis=1), jnp.zeros_like(sel_f)
+
+
+_extract_channels.defvjp(_extract_fwd, _extract_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fetch_texels(atlas_a: Array, texrow_f: Array, flat_x_f: Array,
+                  atlas_w: int) -> Array:
+    """Nearest-texel one-hot fetch over the f32 atlas operand: (8, n)
+    rgba channels (rows 4..7 zero). Exact for the same one-hot reason as
+    _extract_channels, and custom-vjp'd for the same two reasons: the
+    (r_pad, n) one-hot / (w4p, n) mask transients must not become
+    per-bounce residuals, and the unrolled Mosaic path has no remat.
+    The pullback is the transposed chain: d_atlas = (out-cotangent *
+    mask) @ onehot^T — one MXU matmul."""
+    return _fetch_fwd(atlas_a, texrow_f, flat_x_f, atlas_w)[0]
+
+
+def _fetch_parts(w4p, r_pad, texrow_f, flat_x_f, atlas_w):
+    n = texrow_f.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (r_pad, n), 0)
+    onehot = (sub == texrow_f.astype(jnp.int32)).astype(jnp.float32)
+    xsub = jax.lax.broadcasted_iota(jnp.int32, (w4p, n), 0)
+    mask = (xsub % atlas_w == flat_x_f.astype(jnp.int32)).astype(
+        jnp.float32
+    )
+    crow = jax.lax.broadcasted_iota(jnp.int32, (8, w4p), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (8, w4p), 1)
+    sel = (
+        (cidx // atlas_w == crow) & (cidx < 4 * atlas_w)
+    ).astype(jnp.float32)
+    return onehot, mask, sel
+
+
+def _fetch_fwd(atlas_a, texrow_f, flat_x_f, atlas_w):
+    w4p, r_pad = atlas_a.shape
+    onehot, mask, sel = _fetch_parts(w4p, r_pad, texrow_f, flat_x_f, atlas_w)
+    out = jnp.dot(atlas_a, onehot, preferred_element_type=jnp.float32)
+    chan4 = jnp.dot(sel, out * mask, preferred_element_type=jnp.float32)
+    return chan4, (texrow_f, flat_x_f, w4p, r_pad)
+
+
+def _fetch_bwd(atlas_w, res, g):
+    # the chain is linear in atlas_a, so its values never enter the
+    # pullback — rebuild only the index-derived operands and transpose:
+    #   d_prod  = sel^T @ g
+    #   d_out   = d_prod * mask
+    #   d_atlas = d_out @ onehot^T
+    texrow_f, flat_x_f, w4p, r_pad = res
+    onehot, mask, sel = _fetch_parts(w4p, r_pad, texrow_f, flat_x_f, atlas_w)
+    d_prod = jnp.dot(sel.T, g, preferred_element_type=jnp.float32)
+    d_atlas = jnp.dot(
+        d_prod * mask, onehot.T, preferred_element_type=jnp.float32
+    )
+    return d_atlas, jnp.zeros_like(texrow_f), jnp.zeros_like(flat_x_f)
+
+
+_fetch_texels.defvjp(_fetch_fwd, _fetch_bwd)
 
 
 def _replay_bounce(
@@ -130,9 +218,13 @@ def _replay_bounce(
     tri_wins = bidx >= n_spheres
 
     # ---- winner channel extraction (one-hot MXU; exact) ----------------
+    # the lane index rides as f32 (values < 2^24, exact) so the custom
+    # pullback can hand back a plain zero cotangent for it
     n = rox.shape[0] * LANE
-    sel_flat = jnp.where(tri_wins, bidx - n_spheres, -1).reshape(1, n)
-    wout = _extract_channels(tri_t, sel_flat)
+    sel_f = jnp.where(
+        tri_wins, bidx - n_spheres, -1
+    ).reshape(1, n).astype(jnp.float32)
+    wout = _extract_channels(tri_t, sel_f)
     row = lambda j: wout[j : j + 1].reshape(rox.shape)
     wax, way, waz = row(0), row(1), row(2)
     wabx, waby, wabz = row(3), row(4), row(5)
@@ -193,7 +285,19 @@ def _replay_bounce(
         jnp.where(s_hit & (st2 >= sphere_eps), st2, BIG),
     )
 
+    # Knife-edge consistency guard: the recorded winner came from the
+    # FORWARD kernel — a different compiled program whose FMA contraction
+    # differs by ulps (tools/probe_bitexact.py) — so a hit recorded at
+    # t within ulps of an epsilon gate can recompute here as INVALID
+    # (measured: a self-intersection recorded at t ~ tri_eps recomputes
+    # as t_dst = -7e-8 < tri_eps). Without the (dst_lane < BIG) term,
+    # such a lane takes safe_t = BIG = 3e38, the hit point overflows,
+    # |p-c|^2 = inf, and the inf derivatives turn the whole tile's
+    # parameter cotangents into NaN under the zero cotangents that
+    # masked lanes carry. Treating the disagreement as a miss matches
+    # the scan replay, whose inf-dst + isfinite() gate self-protects.
     dst_lane = jnp.where(tri_wins, t_t, s_t)
+    did_hit = did_hit & (dst_lane < BIG)
     safe_t = jnp.where(did_hit, dst_lane, 0.0)
     px = rox + rdx * safe_t
     py = roy + rdy * safe_t
@@ -251,8 +355,8 @@ def _replay_bounce(
 
     if has_atlas:
         # nearest-texel one-hot fetch over the f32 atlas operand (exact;
-        # see _extract_channels). Its AD transpose scatters texel
-        # cotangents back into the atlas block via one MXU matmul.
+        # see _extract_channels); custom-vjp'd so the one-hot/mask
+        # transients are never residuals (_fetch_texels docstring)
         tex_x = jnp.clip(
             jnp.floor(uu * atlas_w).astype(jnp.int32), 0, atlas_w - 1
         )
@@ -260,25 +364,11 @@ def _replay_bounce(
             jnp.floor(vv * atlas_h).astype(jnp.int32), 0, atlas_h - 1
         )
         mat_i = wmat.astype(jnp.int32)
-        texrow = jnp.where(
+        texrow_f = jnp.where(
             active & tri_wins, tex_y + atlas_h * mat_i, -1
-        ).reshape(1, n)
-        flat_x = tex_x.reshape(1, n)
-        r_pad = atlas_a.shape[1]
-        w4p = atlas_a.shape[0]
-
-        sub = jax.lax.broadcasted_iota(jnp.int32, (r_pad, n), 0)
-        onehot = (sub == texrow).astype(jnp.float32)
-        out = jnp.dot(atlas_a, onehot, preferred_element_type=jnp.float32)
-        xsub = jax.lax.broadcasted_iota(jnp.int32, (w4p, n), 0)
-        mask = (xsub % atlas_w == flat_x).astype(jnp.float32)
-        prod = out * mask
-        crow = jax.lax.broadcasted_iota(jnp.int32, (8, w4p), 0)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (8, w4p), 1)
-        sel = (
-            (cidx // atlas_w == crow) & (cidx < 4 * atlas_w)
-        ).astype(jnp.float32)
-        chan4 = jnp.dot(sel, prod, preferred_element_type=jnp.float32)
+        ).reshape(1, n).astype(jnp.float32)
+        flat_x_f = tex_x.reshape(1, n).astype(jnp.float32)
+        chan4 = _fetch_texels(atlas_a, texrow_f, flat_x_f, atlas_w)
         trgb_x, trgb_y, trgb_z, t_alpha_tex = (
             chan4[c : c + 1].reshape(rox.shape) for c in range(4)
         )
@@ -324,20 +414,33 @@ def _replay_all(
     sv, mv, tri_t, atlas_a,
     rox, roy, roz, rdx, rdy, rdz,
     draws, idxs,
-    *, bounces, n_draws, **statics,
+    *, bounces, n_draws, unroll, **statics,
 ):
     """The full replayed bounce loop as a PURE function of traced values —
     what the backward kernel calls ``jax.vjp`` on.
 
-    The loop is a ``lax.scan`` over bounces (like integrator/path.trace),
-    NOT an unrolled Python loop: one bounce body exists in the jaxpr, so
-    compile time is bounce-count-independent (the unrolled form at 5
-    bounces took XLA:CPU tens of minutes under the test harness) and the
-    reverse sweep is the scan's own reverse scan. The body is
-    jax.checkpoint'd so AD's per-iteration residual stack holds only the
-    22-plane carry (+ the index/draw planes); the extraction one-hots are
-    rematerialized during the reverse sweep instead of being stacked
-    across bounces (which would overflow VMEM at depth).
+    TWO structures for the same per-bounce ops (bit-identical values):
+
+    * ``unroll=True`` — static Python loop, used when lowering through
+      Mosaic (real TPU). Required there: reverse-mode AD of a
+      ``lax.scan`` stacks per-iteration residuals as extensive scan
+      outputs, and Mosaic's scan lowering rejects extensive operands
+      (pallas/mosaic/lowering.py ``if num_extensive: raise``) — so a
+      scan-under-vjp can NEVER lower in-kernel. The unrolled form is
+      what the sphere backward kernel uses too; Mosaic compiles it in
+      tens of seconds even at 19 bounces (tools/probe_deep_bounce.py).
+    * ``unroll=False`` — ``lax.scan`` over bounces, used in interpret
+      mode (the CPU test harness), where the kernel body IS traced as
+      XLA ops: there the scan keeps ONE bounce body in the jaxpr, which
+      matters because XLA:CPU's compile time on the unrolled vjp jaxpr
+      is superlinear (tens of minutes at 5 bounces under the
+      8-virtual-device harness).
+
+    Either way the body is jax.checkpoint'd so AD's per-bounce residuals
+    hold only the 22-plane carry (+ the index/draw planes); the
+    extraction one-hots are rematerialized during the reverse sweep
+    instead of being stacked across bounces (which would overflow VMEM
+    at depth).
     """
     f0 = jnp.zeros_like(rox)
     f1 = jnp.ones_like(rox)
@@ -349,16 +452,32 @@ def _replay_all(
         f0, f0, f0, f0, f0, f0,
         f1, f0, i0, f1,
     )
+    # jax.checkpoint (remat2) has no Mosaic lowering rule; on the
+    # unrolled hardware path the big transients are kept out of the
+    # residual set by the custom VJPs (_extract_channels/_fetch_texels)
+    # instead, so what AD saves per bounce is only (BWD_ROWS, LANE)
+    # elementwise planes — the same residual profile the sphere backward
+    # kernel carries to depth 19.
+    bounce_fn = functools.partial(_replay_bounce, **statics)
+    if not unroll:
+        bounce_fn = jax.checkpoint(bounce_fn)
+
+    if unroll:
+        carry = carry0
+        for i in range(bounces):
+            carry = bounce_fn(
+                sv, mv, tri_t, atlas_a, carry, jnp.int32(i), idxs[i],
+                draws[n_draws * i + 0], draws[n_draws * i + 1],
+                draws[n_draws * i + 2],
+            )
+        return carry[9:18]  # (incoming, albedo AOV, normal AOV) x 3
+
     # xs: per-bounce recorded indices + the 3 draw planes, stacked
     idx_arr = jnp.stack(idxs)                                 # (BN, R, L)
     u_arr = jnp.stack([draws[n_draws * i + 0] for i in range(bounces)])
     v_arr = jnp.stack([draws[n_draws * i + 1] for i in range(bounces)])
     r_arr = jnp.stack([draws[n_draws * i + 2] for i in range(bounces)])
     steps = jnp.arange(bounces, dtype=jnp.int32)
-
-    bounce_fn = jax.checkpoint(
-        functools.partial(_replay_bounce, **statics)
-    )
 
     def body(carry, xs):
         i, bidx, u_d, v_d, roulette = xs
@@ -386,7 +505,7 @@ def _bwd_kernel(
     d_tri,        # VMEM (32, T_pad) accumulator
     d_atlas,      # VMEM (w4_pad, r_pad) accumulator
     d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,
-    *, n_spheres, n_mats, bounces, n_draws, **statics,
+    *, n_spheres, n_mats, bounces, n_draws, unroll, **statics,
 ):
     sv = tuple(
         tuple(sph_ref[k, s] for s in range(n_spheres)) for k in range(14)
@@ -401,7 +520,7 @@ def _bwd_kernel(
         return _replay_all(
             sv, mv, tri_t, atlas_a, rox, roy, roz, rdx, rdy, rdz,
             draws, idxs, bounces=bounces, n_draws=n_draws,
-            n_spheres=n_spheres, n_mats=n_mats, **statics,
+            n_spheres=n_spheres, n_mats=n_mats, unroll=unroll, **statics,
         )
 
     _, vjp_fn = jax.vjp(
@@ -454,6 +573,13 @@ def _bwd_call(
     sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi, bright_boost,
     bright_threshold, n_draws, hsl_l, hsl_s, interpret,
 ):
+    # Mosaic cannot lower scan-under-vjp (extensive residual outputs);
+    # XLA backends (interpret mode) cannot afford the unrolled vjp jaxpr.
+    # _replay_all docstring has the full story. The env var forces one
+    # structure for debugging (e.g. unrolled-under-interpret isolates
+    # Mosaic-lowering effects from replay-structure effects).
+    force = _os.environ.get("RAYTPU_MESH_BWD_UNROLL")
+    unroll = (force == "1") if force else not interpret
     rows = ox.shape[0]
     grid = (rows // BWD_ROWS,)
     ray_spec = pl.BlockSpec(
@@ -480,7 +606,7 @@ def _bwd_call(
         sphere_eps=sphere_eps, det_eps=det_eps, tri_eps=tri_eps,
         alpha_lo=alpha_lo, alpha_hi=alpha_hi, bright_boost=bright_boost,
         bright_threshold=bright_threshold, n_draws=n_draws,
-        hsl_l=hsl_l, hsl_s=hsl_s,
+        hsl_l=hsl_l, hsl_s=hsl_s, unroll=unroll,
     )
     out = pl.pallas_call(
         kernel,

@@ -263,7 +263,13 @@ def _forward_body(
         medium_n2 = jnp.where(refr_case & ~exiting, ior, medium_n2)
         n1s = n1_ * n1_
         n2s = n2_ * n2_
-        ratio = jnp.clip(n1s / jnp.maximum(n2s, 1e-20), 0.0, 1e6)
+        # select-based floor, NOT jnp.maximum: ior == 0 lanes make
+        # n2s == 0 exactly and the div VJP's x/y^2 = inf, which Mosaic's
+        # op order turns into 0 * inf = NaN under the backward kernel
+        # (see trace_scene.shade_bounce for the full account). Guarded
+        # lanes' ratio changes but is discarded by the refr_case selects.
+        n2s_safe = jnp.where(n2s > 1e-20, n2s, 1.0)
+        ratio = jnp.clip(n1s / n2s_safe, 0.0, 1e6)
         ndotv = nex * rdx + ney * rdy + nez * rdz
         radical = 1.0 - (ratio * ratio) * (1.0 - ndotv * ndotv)
         ct_scale = rdx * nex + rdy * ney + rdz * nez
