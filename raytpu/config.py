@@ -300,6 +300,18 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
                 "convention; required for the megakernel fast path)"
             )
 
+    if triangles.count > 1 and bool(spec.get("merge_quads", True)):
+        # coplanar-pair detection for the megakernel's rectangle fast
+        # path (geometry/quads.py) — static per-scene data, so it lives
+        # on the (hashable) RenderConfig, not the traced Scene pytree
+        from raytpu.geometry.quads import detect_quad_pairs
+
+        cfg = cfg.replace(quad_pairs=detect_quad_pairs(
+            triangles.a.x, triangles.a.y, triangles.a.z,
+            triangles.b.x, triangles.b.y, triangles.b.z,
+            triangles.c.x, triangles.c.y, triangles.c.z,
+        ))
+
     scene = Scene(
         spheres=spheres,
         triangles=triangles,

@@ -320,6 +320,17 @@ class RenderConfig:
     # semantics, piecewise-constant in geometry) vs bilinear (continuous
     # UV->color, giving nonzero vertex/camera gradients)
     bilinear_textures: bool = False
+    # quad merging (geometry/quads.py): coplanar triangle pairs found at
+    # scene load are intersected as single parallelograms inside the
+    # mesh megakernel (~2x fewer primitive tests on block-world meshes).
+    # quad_pairs is the static (i, j, opposite_vertex) tuple computed by
+    # detect_quad_pairs in load_scene; () disables the path. Winner
+    # indices remain triangle indices, so shading/gradients are shared
+    # with the per-triangle loop; radiance agrees to ulps (allclose
+    # tests), not bit-for-bit — merge_quads=False restores bit-identity
+    # with the scan integrator.
+    merge_quads: bool = True
+    quad_pairs: "tuple[tuple[int, int, int], ...]" = ()
 
     @property
     def n_pixels(self) -> int:

@@ -383,6 +383,12 @@ def _kernel(
     box_ref,      # SMEM (6, n_chunks): per-CULL_CHUNK AABB lo3 hi3
     mat_ref,      # SMEM (9, M_pad): em3 estr refl ior alpha_c use_c eft
     atlas_ref,    # VMEM (w4_pad, r_pad): A[ch*atlas_w + x, tex_y + h*mat]
+    qtab_ref,     # SMEM (12, Q_pad): rect a3 e1_3 e2_3 n3 (geometry/quads.py)
+    qidx_ref,     # SMEM (2, Q_pad) i32: the rect's two triangle indices
+    qbox_ref,     # SMEM (6, q_chunks): per-chunk rect AABBs
+    ltab_ref,     # SMEM (12, L_pad): leftover tris a3 ab3 ac3 n3
+    lidx_ref,     # SMEM (1, L_pad) i32: leftover original indices
+    lbox_ref,     # SMEM (6, l_chunks)
     ox, oy, oz, dx, dy, dz,           # VMEM (ROWS, LANE) ray tiles
     draws_ref,                         # VMEM (BN*3, ROWS, LANE)
     inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
@@ -390,12 +396,13 @@ def _kernel(
     n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tex_limbs,
-    with_indices,
+    with_indices, n_quads, n_leftover,
 ):
     f0 = jnp.zeros(ox.shape, jnp.float32)
     f1 = jnp.ones(ox.shape, jnp.float32)
     i0 = jnp.zeros(ox.shape, jnp.int32)
     n_chunks = box_ref.shape[1]
+    use_quads = n_quads > 0
 
     # carry tuple: see _CARRY below
     carry = (
@@ -418,6 +425,12 @@ def _kernel(
         inv_2a = 0.5 / jnp.maximum(a_quad, 1e-20)
         best = jnp.full(ox.shape, BIG, jnp.float32)
         bidx = jnp.full(ox.shape, -1, jnp.int32)
+        # quad mode ranks candidates as positive fractions t = num/den
+        # (den = det > 0 for rects/tris, 1 for spheres): num_a*den_b <
+        # num_b*den_a replaces the per-primitive division entirely — one
+        # division per ray per bounce at the end instead of one per
+        # (ray, primitive) pair
+        best_den = f1
 
         # ---- spheres (main.c:52-92; scanned before triangles) --------
         for s in range(n_spheres):
@@ -436,7 +449,11 @@ def _kernel(
                 hit_s & (t1 >= sphere_eps), t1,
                 jnp.where(hit_s & (t2 >= sphere_eps), t2, BIG),
             )
-            better = t < best
+            if use_quads:
+                better = t * best_den < best
+                best_den = jnp.where(better, f1, best_den)
+            else:
+                better = t < best
             best = jnp.where(better, t, best)
             bidx = jnp.where(better, s, bidx)
 
