@@ -300,7 +300,12 @@ def load_scene_file(path: str) -> tuple[Scene, Camera, RenderConfig]:
                 "convention; required for the megakernel fast path)"
             )
 
-    if triangles.count > 1 and bool(spec.get("merge_quads", True)):
+    # the spec's top-level merge_quads key lands on the config so both
+    # the detection below AND the kernel dispatch gate on the SAME
+    # resolved flag (cfg.replace(merge_quads=False) after load also
+    # disables the path — ADVICE r3 low #4)
+    cfg = cfg.replace(merge_quads=bool(spec.get("merge_quads", True)))
+    if triangles.count > 1 and cfg.merge_quads:
         # coplanar-pair detection for the megakernel's rectangle fast
         # path (geometry/quads.py) — static per-scene data, so it lives
         # on the (hashable) RenderConfig, not the traced Scene pytree

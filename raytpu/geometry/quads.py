@@ -15,9 +15,10 @@ untouched.
 
 Detection is geometric and material-blind: materials/UVs live on the
 recovered triangle, so two halves with different materials still merge.
-Measured pairing on the shipped scenes: mcworld 606 tris -> 262 rects +
-82 leftovers, caverne 762 -> 376 + 10, grass_block 12 -> 6 + 0,
-pyramide_eau 34 -> 9 + 16, tree (organic mesh) 0 pairs.
+Measured pairing on the shipped scenes (tests/test_quad_merge.py):
+mcworld 606 tris -> 266 rects + 74 leftovers, caverne 762 -> 380 + 2,
+grass_block 12 -> 6 + 0, pyramide_eau 34 -> 9 + 16, pyramide 6 -> 1 + 4,
+tree (organic mesh) 0 pairs.
 
 Semantics note: the rectangle test accepts the ~1e-7-wide epsilon crack
 the reference leaves along the shared diagonal (each half demands its

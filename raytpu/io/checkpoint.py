@@ -45,7 +45,11 @@ def _fingerprint(cfg: RenderConfig, seed: int) -> dict:
     # (tests/test_pallas.py) must not invalidate a resume
     d.pop("use_pallas", None)
     d.pop("pallas_interpret", None)
-    return d
+    # canonicalize through a JSON round-trip: tuple-typed fields
+    # (quad_pairs) otherwise come back from the sidecar as lists and the
+    # strict comparison in load_checkpoint rejects EVERY resume
+    # (VERDICT r3 item 2 / ADVICE r3 high #2)
+    return json.loads(json.dumps(d))
 
 
 def save_checkpoint(
@@ -81,7 +85,7 @@ def load_checkpoint(
     with open(path + ".json") as f:
         meta = json.load(f)
     want = _fingerprint(cfg, seed)
-    defaults = dataclasses.asdict(RenderConfig())
+    defaults = json.loads(json.dumps(dataclasses.asdict(RenderConfig())))
     # tolerate keys the old checkpoint predates, as long as the current
     # run uses their default values (a config field added in an upgrade
     # must not invalidate old checkpoints)

@@ -57,6 +57,17 @@ texture atlas, refraction/cutout/HSL/bright-boost, forward only, AO
 off, no equirect sky (those fall back to the scan path; render()
 dispatches automatically and uses the scan path for gradients via the
 same custom-VJP wrapper as the sphere megakernel).
+
+Rectangle fast path: when the scene loader detected coplanar triangle
+pairs (geometry/quads.py; cfg.quad_pairs, gated by cfg.merge_quads),
+the per-triangle loop is replaced by one parallelogram test per pair
+plus a leftover-triangle loop, both division-free (fraction-ranked
+candidates, one divide per ray per bounce) — ~2x fewer primitive tests
+on block-world meshes (/root/reference/triangle.hu:42-59's cull analog
+at the primitive level). Winner indices remain original triangle
+indices, so extraction/shading/backward are untouched; validated by
+allclose + winner-agreement (tests/test_quad_merge.py), not
+bit-identity.
 """
 
 from __future__ import annotations
@@ -73,6 +84,7 @@ from raytpu.core.types import RenderConfig, Scene
 from raytpu.core.vec3 import Vec3
 from raytpu.geometry.triangle import TriangleGeom, precompute
 from raytpu.kernels._common import BIG, LANE, pad_prims, pad_rows
+from raytpu.kernels.trace_spheres import _sky_statics
 
 import os as _os
 
@@ -151,7 +163,11 @@ def supported(scene: Scene, cfg: RenderConfig) -> bool:
         scene.triangles.count > 0
         and scene.triangles.count <= MAX_TRIS
         and scene.spheres.count <= 64
-        and scene.sky_sphere_index < 0
+        # equirect sky runs in-kernel via the slot scheme (one texel
+        # index + throughput scale per ray, composed outside by a row
+        # gather) — the index just has to name a real sphere
+        and (scene.sky_sphere_index < 0
+             or scene.sky_sphere_index < scene.spheres.count)
         and not cfg.use_ao
         # the in-kernel fetch is nearest-texel (texture.h:61-69); the
         # bilinear differentiable-filtering mode takes the scan path
@@ -175,8 +191,8 @@ def unsupported_reasons(scene: Scene, cfg: RenderConfig) -> list[str]:
         r.append(f"{scene.triangles.count} triangles > {MAX_TRIS}")
     if scene.spheres.count > 64:
         r.append(f"{scene.spheres.count} spheres > 64")
-    if scene.sky_sphere_index >= 0:
-        r.append("textured sky sphere")
+    if scene.sky_sphere_index >= scene.spheres.count:
+        r.append("sky_sphere_index out of range")
     if cfg.use_ao:
         r.append("ambient occlusion on")
     if n_tex > 0 and cfg.bilinear_textures:
@@ -202,6 +218,7 @@ def shade_bounce(
     u_d, v_d, roulette,
     *,
     alpha_lo, alpha_hi, bright_boost, bright_threshold, hsl_l, hsl_s,
+    with_masks=False,
 ):
     """One bounce's shading: everything AFTER the winner's (point, normal,
     material) is known — AOV base cases, emissive early return, scatter,
@@ -213,6 +230,11 @@ def shade_bounce(
     from the recorded index and recomputed differentiably), so the two
     apply op-for-op identical arithmetic — the property the grad-parity
     tests rely on.
+
+    with_masks=True additionally returns the (emissive_ret, accum)
+    branch masks — the equirect-sky slot bookkeeping in the forward
+    kernel needs them (kernels/trace_spheres.py's take_e/take_a); the
+    masks are locals either way, so the default call is unchanged.
     """
     (rox, roy, roz, rdx, rdy, rdz,
      rcx, rcy, rcz, ix, iy, iz,
@@ -370,9 +392,12 @@ def shade_bounce(
 
     active_f = jnp.where(active & did_hit, f1, f0)
 
-    return (rox, roy, roz, rdx, rdy, rdz, rcx, rcy, rcz, ix, iy, iz,
-            ax_, ay_, az_, nx_, ny_, nz_,
-            active_f, is_alpha_f, alpha_depth, medium_n2)
+    out = (rox, roy, roz, rdx, rdy, rdz, rcx, rcy, rcz, ix, iy, iz,
+           ax_, ay_, az_, nx_, ny_, nz_,
+           active_f, is_alpha_f, alpha_depth, medium_n2)
+    if with_masks:
+        return out, emissive_ret, accum
+    return out
 
 
 def _kernel(
@@ -383,28 +408,36 @@ def _kernel(
     box_ref,      # SMEM (6, n_chunks): per-CULL_CHUNK AABB lo3 hi3
     mat_ref,      # SMEM (9, M_pad): em3 estr refl ior alpha_c use_c eft
     atlas_ref,    # VMEM (w4_pad, r_pad): A[ch*atlas_w + x, tex_y + h*mat]
-    qtab_ref,     # SMEM (12, Q_pad): rect a3 e1_3 e2_3 n3 (geometry/quads.py)
-    qidx_ref,     # SMEM (2, Q_pad) i32: the rect's two triangle indices
+    qtab_ref,     # SMEM (14, Q_pad): rect a3 e1_3 e2_3 n3 i j
+                  # (geometry/quads.py; i/j = the halves' tri indices, f32)
     qbox_ref,     # SMEM (6, q_chunks): per-chunk rect AABBs
-    ltab_ref,     # SMEM (12, L_pad): leftover tris a3 ab3 ac3 n3
-    lidx_ref,     # SMEM (1, L_pad) i32: leftover original indices
+    ltab_ref,     # SMEM (13, L_pad): leftover tris a3 ab3 ac3 n3 origidx
     lbox_ref,     # SMEM (6, l_chunks)
     ox, oy, oz, dx, dy, dz,           # VMEM (ROWS, LANE) ray tiles
     draws_ref,                         # VMEM (BN*3, ROWS, LANE)
     inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
-    *idx_ref_opt,                      # with_indices: (BN, ROWS, LANE) i32
+    *opt_refs,                         # sky on: 5 sky planes (skl3, texel,
+                                       # early); then with_indices:
+                                       # (BN, ROWS, LANE) i32
     n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tex_limbs,
-    with_indices, n_quads, n_leftover,
+    with_indices, n_quads, n_leftover, sky_idx, sky_w, sky_h,
 ):
     f0 = jnp.zeros(ox.shape, jnp.float32)
     f1 = jnp.ones(ox.shape, jnp.float32)
     i0 = jnp.zeros(ox.shape, jnp.int32)
     n_chunks = box_ref.shape[1]
     use_quads = n_quads > 0
+    if sky_idx >= 0:
+        sky_out, idx_ref_opt = opt_refs[:7], opt_refs[7:]
+    else:
+        sky_out, idx_ref_opt = (), opt_refs
 
-    # carry tuple: see _CARRY below
+    # carry tuple: 22 base planes (see unpack in bounce_body) + 8 sky
+    # planes when the scene has an equirect sky (same slot scheme as
+    # kernels/trace_spheres._forward_body: throughput scale 3, unit hit
+    # direction 3, early flag, slot-taken flag)
     carry = (
         ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],   # ray
         f1, f1, f1,                                  # throughput
@@ -412,8 +445,11 @@ def _kernel(
         f0, f0, f0, f0, f0, f0,                      # albedo + normal AOVs
         f1, f0, i0, f1,                              # active, is_alpha, alpha_depth, medium_n2
     )
+    if sky_idx >= 0:
+        carry = carry + (f0, f0, f0, f0, f0, f0, f0, f0)
 
-    def bounce_body(i, carry):
+    def bounce_body(i, state):
+        carry, sky_state = state[:22], state[22:]
         (rox, roy, roz, rdx, rdy, rdz,
          rcx, rcy, rcz, ix, iy, iz,
          ax_, ay_, az_, nx_, ny_, nz_,
@@ -495,9 +531,9 @@ def _kernel(
         inv_dy = 1.0 / rdy
         inv_dz = 1.0 / rdz
 
-        def chunk_body(c, win):
-            lo_x, lo_y, lo_z = box_ref[0, c], box_ref[1, c], box_ref[2, c]
-            hi_x, hi_y, hi_z = box_ref[3, c], box_ref[4, c], box_ref[5, c]
+        def slab(box_r, c):
+            lo_x, lo_y, lo_z = box_r[0, c], box_r[1, c], box_r[2, c]
+            hi_x, hi_y, hi_z = box_r[3, c], box_r[4, c], box_r[5, c]
             t0x = (lo_x - rox) * inv_dx
             t1x = (hi_x - rox) * inv_dx
             t0y = (lo_y - roy) * inv_dy
@@ -512,6 +548,10 @@ def _kernel(
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.maximum(t0z, t1z),
             )
+            return tmin, tmax
+
+        def chunk_body(c, win):
+            tmin, tmax = slab(box_ref, c)
             # only live rays can keep a chunk's triangle loop alive, and
             # only if the chunk could still IMPROVE a winner: any hit in
             # the box has t >= tmin (the hit point lies inside the box),
@@ -531,7 +571,120 @@ def _kernel(
 
             return jax.lax.cond(enter, run, lambda w: w, win)
 
-        if "tri" not in _ABLATE:
+        # ---- rectangle fast path (geometry/quads.py) ------------------
+        # block-world meshes triangulate every rectangular face into two
+        # coplanar halves sharing a diagonal (the reference's flagship
+        # mcworld scene, /root/reference/model3D/RTX_MAP); one
+        # parallelogram test replaces both triangle tests. Candidates
+        # rank DIVISION-FREE as positive fractions t = num/den (den =
+        # det > 0 for rects/leftovers, 1 for spheres): validity compares
+        # scaled barycentrics against tri_eps*det, the running winner
+        # compares num_a*den_b < num_b*den_a, and ONE division per ray
+        # per bounce recovers t at the end. Rounding therefore differs
+        # from the per-triangle loop in the last ulp — the quad path is
+        # allclose + winner-agreement tested (tests/test_quad_merge.py),
+        # never bit-identity (merge_quads=False restores that).
+
+        def quad_body(q_i, win):
+            best, bden, bidx = win
+            ax, ay, az = qtab_ref[0, q_i], qtab_ref[1, q_i], qtab_ref[2, q_i]
+            e1x, e1y, e1z = qtab_ref[3, q_i], qtab_ref[4, q_i], qtab_ref[5, q_i]
+            e2x, e2y, e2z = qtab_ref[6, q_i], qtab_ref[7, q_i], qtab_ref[8, q_i]
+            nx, ny, nz = qtab_ref[9, q_i], qtab_ref[10, q_i], qtab_ref[11, q_i]
+            aox, aoy, aoz = rox - ax, roy - ay, roz - az
+            daox = aoy * rdz - aoz * rdy
+            daoy = aoz * rdx - aox * rdz
+            daoz = aox * rdy - aoy * rdx
+            det = -(rdx * nx + rdy * ny + rdz * nz)
+            num = aox * nx + aoy * ny + aoz * nz          # t * det
+            pu = e2x * daox + e2y * daoy + e2z * daoz           # alpha * det
+            pv = -(e1x * daox + e1y * daoy + e1z * daoz)        # beta * det
+            lo = tri_eps * det
+            hi = (1.0 - tri_eps) * det
+            # validity = the unit square in parallelogram coords: the
+            # union of the two halves' barycentric tests plus the
+            # ~tri_eps-wide crack the reference leaves along the shared
+            # diagonal (each half demands its own w >= tri_eps)
+            valid = (
+                (det >= det_eps) & (num >= lo)
+                & (pu >= lo) & (pv >= lo) & (pu <= hi) & (pv <= hi)
+            )
+            num_c = jnp.where(valid, num, BIG)
+            den_c = jnp.where(valid, det, 1.0)
+            # winning half: triangle i spans alpha + beta <= 1
+            win_i = jnp.where(
+                pu + pv <= det, qtab_ref[12, q_i], qtab_ref[13, q_i]
+            ).astype(jnp.int32)
+            better = num_c * bden < best * den_c
+            return (
+                jnp.where(better, num_c, best),
+                jnp.where(better, den_c, bden),
+                jnp.where(better, n_spheres + win_i, bidx),
+            )
+
+        def left_body(l_i, win):
+            best, bden, bidx = win
+            ax, ay, az = ltab_ref[0, l_i], ltab_ref[1, l_i], ltab_ref[2, l_i]
+            abx, aby, abz = ltab_ref[3, l_i], ltab_ref[4, l_i], ltab_ref[5, l_i]
+            acx, acy, acz = ltab_ref[6, l_i], ltab_ref[7, l_i], ltab_ref[8, l_i]
+            nx, ny, nz = ltab_ref[9, l_i], ltab_ref[10, l_i], ltab_ref[11, l_i]
+            aox, aoy, aoz = rox - ax, roy - ay, roz - az
+            daox = aoy * rdz - aoz * rdy
+            daoy = aoz * rdx - aox * rdz
+            daoz = aox * rdy - aoy * rdx
+            det = -(rdx * nx + rdy * ny + rdz * nz)
+            num = aox * nx + aoy * ny + aoz * nz
+            pu = acx * daox + acy * daoy + acz * daoz
+            pv = -(abx * daox + aby * daoy + abz * daoz)
+            lo = tri_eps * det
+            valid = (
+                (det >= det_eps) & (num >= lo) & (pu >= lo) & (pv >= lo)
+                & (pu + pv <= (1.0 - tri_eps) * det)      # w >= tri_eps
+            )
+            num_c = jnp.where(valid, num, BIG)
+            den_c = jnp.where(valid, det, 1.0)
+            oidx = ltab_ref[12, l_i].astype(jnp.int32)
+            better = num_c * bden < best * den_c
+            return (
+                jnp.where(better, num_c, best),
+                jnp.where(better, den_c, bden),
+                jnp.where(better, n_spheres + oidx, bidx),
+            )
+
+        def frac_cull_loop(box_r, body, win):
+            def ch(c, win):
+                tmin, tmax = slab(box_r, c)
+                best, bden, _ = win
+                # fraction-ranked prune: tmin >= best/bden (bden > 0)
+                enter = jnp.any(
+                    (tmax >= tmin) & (tmax >= 0.0) & active
+                    & (tmin * bden < best)
+                )
+                if _NO_CULL:
+                    enter = jnp.any(active)
+
+                def run(w):
+                    return jax.lax.fori_loop(
+                        0, CULL_CHUNK,
+                        lambda j, w2: body(c * CULL_CHUNK + j, w2), w,
+                    )
+
+                return jax.lax.cond(enter, run, lambda w: w, win)
+
+            return jax.lax.fori_loop(0, box_r.shape[1], ch, win)
+
+        if use_quads:
+            if "tri" not in _ABLATE:
+                win = frac_cull_loop(
+                    qbox_ref, quad_body, (best, best_den, bidx)
+                )
+                if n_leftover > 0:
+                    win = frac_cull_loop(lbox_ref, left_body, win)
+                best, best_den, bidx = win
+            # the deferred division: one per (ray, bounce) instead of one
+            # per (ray, primitive); misses keep BIG (den 1)
+            best = best / best_den
+        elif "tri" not in _ABLATE:
             best, bidx = jax.lax.fori_loop(
                 0, n_chunks, chunk_body, (best, bidx)
             )
@@ -745,12 +898,32 @@ def _kernel(
         ior = tsel(tior, sior)
         nX, nY, nZ = tsel(tnX, snX), tsel(tnY, snY), tsel(tnZ, snZ)
 
+        # ---- equirect sky slot (texture.h:92-112) ---------------------
+        # same scheme as kernels/trace_spheres._forward_body: the 4096x
+        # 2048 sky textures are far beyond VMEM, so the kernel records
+        # ONE unit hit direction + throughput scale per ray and the
+        # wrapper composes radiance outside (compose_sky: the acos/atan2
+        # UV chain Mosaic cannot lower + one XLA row-gather, op-for-op
+        # the scan path's sky_emission). Exact under the pure-emitter
+        # black-diffuse sky convention that raytpu.config enforces.
+        if sky_idx >= 0:
+            (sklx, skly, sklz, skdx, skdy, skdz,
+             early_f, slot_f) = sky_state
+            sky_win = did_hit & (bidx == sky_idx)
+            emx = jnp.where(sky_win, f0, emx)
+            emy = jnp.where(sky_win, f0, emy)
+            emz = jnp.where(sky_win, f0, emz)
+            r_safe = jnp.where(sr > 0.0, sr, 1.0)   # miss lanes only
+            sdx = (px - scx) / r_safe
+            sdy = (py - scy) / r_safe
+            sdz = (pz - scz) / r_safe
+
         # ================================================================
         # shading (shade_bounce): identical to kernels/trace_spheres.py
         # (which is bit-identical to integrator/path.py) from here down;
         # shared with the backward replay kernel (trace_scene_bwd)
         # ================================================================
-        return shade_bounce(
+        shade_args = (
             i,
             (rox, roy, roz, rdx, rdy, rdz, rcx, rcy, rcz, ix, iy, iz,
              ax_, ay_, az_, nx_, ny_, nz_,
@@ -760,10 +933,35 @@ def _kernel(
             draws_ref[n_draws * i + 0],
             draws_ref[n_draws * i + 1],
             draws_ref[n_draws * i + 2],
+        )
+        shade_kw = dict(
             alpha_lo=alpha_lo, alpha_hi=alpha_hi,
             bright_boost=bright_boost, bright_threshold=bright_threshold,
             hsl_l=hsl_l, hsl_s=hsl_s,
         )
+        if sky_idx < 0:
+            return shade_bounce(*shade_args, **shade_kw)
+        new_carry, emissive_ret, accum = shade_bounce(
+            *shade_args, with_masks=True, **shade_kw
+        )
+        # slot bookkeeping (trace_spheres take_e/take_a): the first sky
+        # interaction is either an emissive early return (scale 1,
+        # hsl-boost applied outside) or a regular accumulation (scale =
+        # estr * pre-update throughput); later sky events contribute
+        # exactly zero under the black-diffuse convention
+        take_e = emissive_ret & sky_win & (slot_f == 0.0)
+        take_a = accum & sky_win & (slot_f == 0.0)
+        take = take_e | take_a
+        sklx = jnp.where(take_e, f1, jnp.where(take_a, estr * rcx, sklx))
+        skly = jnp.where(take_e, f1, jnp.where(take_a, estr * rcy, skly))
+        sklz = jnp.where(take_e, f1, jnp.where(take_a, estr * rcz, sklz))
+        skdx = jnp.where(take, sdx, skdx)
+        skdy = jnp.where(take, sdy, skdy)
+        skdz = jnp.where(take, sdz, skdz)
+        early_f = jnp.where(take_e, f1, early_f)
+        slot_f = jnp.where(take, f1, slot_f)
+        return new_carry + (sklx, skly, sklz, skdx, skdy, skdz,
+                            early_f, slot_f)
 
     def skip_body(i, carry):
         if with_indices:
@@ -784,8 +982,8 @@ def _kernel(
                 carry,
             )
 
-    (_, _, _, _, _, _, _, _, _, ix, iy, iz,
-     ax_, ay_, az_, nx_, ny_, nz_, _, _, _, _) = carry
+    ix, iy, iz = carry[9:12]
+    ax_, ay_, az_, nx_, ny_, nz_ = carry[12:18]
     inc_x[:] = ix
     inc_y[:] = iy
     inc_z[:] = iz
@@ -795,6 +993,10 @@ def _kernel(
     nrm_x[:] = nx_
     nrm_y[:] = ny_
     nrm_z[:] = nz_
+    if sky_idx >= 0:
+        # skl3, unit direction 3, early flag (slot_f is bookkeeping only)
+        for ref, val in zip(sky_out, carry[22:29]):
+            ref[:] = val
 
 
 @functools.partial(
@@ -804,15 +1006,18 @@ def _kernel(
         "atlas_w", "atlas_h", "bounces", "sphere_eps", "det_eps",
         "tri_eps", "alpha_lo", "alpha_hi", "bright_boost",
         "bright_threshold", "n_draws", "hsl_l", "hsl_s", "tile_rows",
-        "tex_limbs", "with_indices", "interpret",
+        "tex_limbs", "with_indices", "n_quads", "n_leftover",
+        "sky_idx", "sky_w", "sky_h", "interpret",
     ),
 )
 def _trace_call(
-    sph, tri, trivm, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws,
+    sph, tri, trivm, boxes, mats, atlas, qtab, qbox, ltab, lbox,
+    ox, oy, oz, dx, dy, dz, draws,
     *, n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tile_rows,
-    tex_limbs, with_indices, interpret,
+    tex_limbs, with_indices, n_quads, n_leftover,
+    sky_idx, sky_w, sky_h, interpret,
 ):
     rows = ox.shape[0]
     grid = (rows // tile_rows,)
@@ -839,10 +1044,12 @@ def _trace_call(
         alpha_lo=alpha_lo, alpha_hi=alpha_hi, bright_boost=bright_boost,
         bright_threshold=bright_threshold, n_draws=n_draws,
         hsl_l=hsl_l, hsl_s=hsl_s, tex_limbs=tex_limbs,
-        with_indices=with_indices,
+        with_indices=with_indices, n_quads=n_quads, n_leftover=n_leftover,
+        sky_idx=sky_idx, sky_w=sky_w, sky_h=sky_h,
     )
-    out_specs = [ray_spec] * 9
-    out_shape = [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 9
+    n_base = 16 if sky_idx >= 0 else 9
+    out_specs = [ray_spec] * n_base
+    out_shape = [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * n_base
     if with_indices:
         out_specs.append(pl.BlockSpec(
             (bounces, tile_rows, LANE), lambda i: (0, i, 0),
@@ -855,12 +1062,14 @@ def _trace_call(
         kernel,
         grid=grid,
         in_specs=[smem, smem, trivm_spec, smem, smem, atlas_spec]
+        + [smem] * 4
         + [ray_spec] * 6
         + [draws_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(sph, tri, trivm, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws)
+    )(sph, tri, trivm, boxes, mats, atlas, qtab, qbox, ltab, lbox,
+      ox, oy, oz, dx, dy, dz, draws)
 
 
 def _limb3(a: Array, pad_to: int) -> Array:
@@ -942,6 +1151,127 @@ def pack_atlas_f32(scene: Scene) -> Array:
     return a
 
 
+def _chunk_boxes(xs, ys, zs, n: int) -> Array:
+    """(6, n_chunks) per-CULL_CHUNK AABBs over per-primitive corner
+    coordinate lists (each entry a (n,) array; rows = one corner per
+    primitive), inflated by the same 1e-5 relative margin pack_scene has
+    always applied for f32-recomputed corners. Only chunks containing
+    real primitives get a box — the ±inf padding keeps pad slots from
+    inflating the last chunk."""
+    n_chunks = -(-n // CULL_CHUNK)
+    pad = n_chunks * CULL_CHUNK - n
+    lo, hi = [], []
+    for parts in (xs, ys, zs):
+        stack = jnp.stack(parts)                       # (corners, n)
+        lo.append(jnp.min(
+            jnp.pad(stack, ((0, 0), (0, pad)), constant_values=jnp.inf)
+            .reshape(len(parts), n_chunks, CULL_CHUNK), axis=(0, 2),
+        ))
+        hi.append(jnp.max(
+            jnp.pad(stack, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            .reshape(len(parts), n_chunks, CULL_CHUNK), axis=(0, 2),
+        ))
+    boxes = jnp.stack(lo + hi)
+    eps = 1e-5 * (jnp.abs(boxes) + 1.0)
+    return boxes + jnp.concatenate([-eps[:3], eps[3:]], axis=0)
+
+
+def pack_quads(scene: Scene, geom: TriangleGeom, pairs):
+    """Host-side packing for the rectangle fast path (geometry/quads.py):
+
+      qtab   (14, Q_pad)  a3 e1_3 e2_3 n3 i j — parallelogram corner =
+                          triangle i's vertex opposite the shared edge,
+                          e1/e2 the diagonal endpoints minus the corner
+                          (cyclic order, so n = cross(e1, e2) equals
+                          triangle i's raw normal and the det_eps
+                          backface cull matches the per-triangle loop)
+      qboxes (6, q_chunks) per-CULL_CHUNK AABBs over all four corners
+      ltab   (13, L_pad)  unpaired triangles a3 ab3 ac3 n3 origidx
+      lboxes (6, l_chunks)
+
+    ``pairs`` is the static detect_quad_pairs tuple carried on
+    RenderConfig; indices are original triangle indices, so the winner
+    the kernel records feeds the SAME extraction/shading/backward-replay
+    machinery as the per-triangle loop.
+    """
+    import numpy as np
+
+    n_t = scene.triangles.count
+    if not pairs:
+        return (
+            jnp.zeros((14, CULL_CHUNK), jnp.float32),
+            jnp.zeros((6, 1), jnp.float32),
+            jnp.zeros((13, CULL_CHUNK), jnp.float32),
+            jnp.zeros((6, 1), jnp.float32),
+        )
+    from raytpu.geometry.quads import leftover_indices
+
+    i_idx = np.array([p[0] for p in pairs], np.int32)
+    j_idx = np.array([p[1] for p in pairs], np.int32)
+    oi = np.array([p[2] for p in pairs], np.int32)
+    s1s, s2s = (oi + 1) % 3, (oi + 2) % 3
+    tris = scene.triangles
+    n_q = len(pairs)
+    q_pad = max(-(-n_q // CULL_CHUNK) * CULL_CHUNK, CULL_CHUNK)
+
+    per_axis = []
+    for coord in "xyz":
+        V = jnp.stack([
+            getattr(tris.a, coord), getattr(tris.b, coord),
+            getattr(tris.c, coord),
+        ])                                              # (3 slots, T)
+        a_ = V[oi, i_idx]
+        s1, s2 = V[s1s, i_idx], V[s2s, i_idx]
+        per_axis.append((a_, s1 - a_, s2 - a_, s1 + s2 - a_, s1, s2))
+    ((ax_, e1x, e2x, d4x, s1x, s2x),
+     (ay_, e1y, e2y, d4y, s1y, s2y),
+     (az_, e1z, e2z, d4z, s1z, s2z)) = per_axis
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    qtab = pad_prims(
+        [ax_, ay_, az_, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz,
+         jnp.asarray(i_idx, jnp.float32), jnp.asarray(j_idx, jnp.float32)],
+        q_pad,
+    )
+    qboxes = _chunk_boxes(
+        [ax_, s1x, s2x, d4x], [ay_, s1y, s2y, d4y], [az_, s1z, s2z, d4z],
+        n_q,
+    )
+
+    lidx = np.array(leftover_indices(n_t, pairs), np.int32)
+    n_l = lidx.shape[0]
+    if n_l == 0:
+        return (
+            qtab, qboxes,
+            jnp.zeros((13, CULL_CHUNK), jnp.float32),
+            jnp.zeros((6, 1), jnp.float32),
+        )
+    l_pad = max(-(-n_l // CULL_CHUNK) * CULL_CHUNK, CULL_CHUNK)
+    g = lambda v: v[lidx]
+    ltab = pad_prims(
+        [g(geom.a.x), g(geom.a.y), g(geom.a.z),
+         g(geom.edge_ab.x), g(geom.edge_ab.y), g(geom.edge_ab.z),
+         g(geom.edge_ac.x), g(geom.edge_ac.y), g(geom.edge_ac.z),
+         g(geom.normal_raw.x), g(geom.normal_raw.y), g(geom.normal_raw.z),
+         jnp.asarray(lidx, jnp.float32)],
+        l_pad,
+    )
+    lb = [g(geom.a.x) + g(geom.edge_ab.x),
+          g(geom.a.y) + g(geom.edge_ab.y),
+          g(geom.a.z) + g(geom.edge_ab.z)]
+    lc = [g(geom.a.x) + g(geom.edge_ac.x),
+          g(geom.a.y) + g(geom.edge_ac.y),
+          g(geom.a.z) + g(geom.edge_ac.z)]
+    lboxes = _chunk_boxes(
+        [g(geom.a.x), lb[0], lc[0]],
+        [g(geom.a.y), lb[1], lc[1]],
+        [g(geom.a.z), lb[2], lc[2]],
+        n_l,
+    )
+    return qtab, qboxes, ltab, lboxes
+
+
 def pack_mats(scene: Scene) -> Array:
     """(9, M_pad) material table: em3 estr refl ior alpha_c use_c eft."""
     tbl = scene.mat_table
@@ -981,27 +1311,12 @@ def pack_scene(scene: Scene, geom: TriangleGeom):
     # conservative inflation for the recomputed b/c vertices); only
     # chunks containing real triangles get a box — the kernel's chunk
     # loop is bounded by the box count, so pad slots are never scanned
-    n_chunks = -(-n_t // CULL_CHUNK)
     vb = geom.a + geom.edge_ab
     vc = geom.a + geom.edge_ac
-    lo, hi = [], []
-    for parts in (
+    boxes = _chunk_boxes(
         [geom.a.x, vb.x, vc.x], [geom.a.y, vb.y, vc.y],
-        [geom.a.z, vb.z, vc.z],
-    ):
-        stack = jnp.stack(parts)                       # (3, T)
-        pad = n_chunks * CULL_CHUNK - n_t
-        lo.append(jnp.min(
-            jnp.pad(stack, ((0, 0), (0, pad)), constant_values=jnp.inf)
-            .reshape(3, n_chunks, CULL_CHUNK), axis=(0, 2),
-        ))
-        hi.append(jnp.max(
-            jnp.pad(stack, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-            .reshape(3, n_chunks, CULL_CHUNK), axis=(0, 2),
-        ))
-    boxes = jnp.stack(lo + hi)
-    eps = 1e-5 * (jnp.abs(boxes) + 1.0)
-    boxes = boxes + jnp.concatenate([-eps[:3], eps[3:]], axis=0)
+        [geom.a.z, vb.z, vc.z], n_t,
+    )
 
     mats = pack_mats(scene)
 
@@ -1045,8 +1360,59 @@ def trace_mesh_megakernel(
     differentiable winner-recompute + gather + shading chain is
     op-for-op the scan path's, so gradients are identical to
     use_megakernel=False.
+
+    Equirect sky scenes (the reference's canonical mesh render,
+    main.c:361 + 374): the kernel records one sky-hit slot per ray and
+    the radiance is composed HERE with one XLA row-gather over the
+    full-resolution sky texture (kernels/trace_spheres does the same);
+    gradients for such scenes run the index-replay scan backward, whose
+    closest_hit handles the sky texel natively.
     """
-    return _mkm_vjp(scene, cfg, origin, direction, bounce_draws, interpret)
+    if _sky_statics(scene)["sky_idx"] < 0:
+        return _mkm_vjp(scene, cfg, origin, direction, bounce_draws, interpret)
+    return _mkm_sky(scene, cfg, origin, direction, bounce_draws, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+def _mkm_sky(scene, cfg, origin, direction, bounce_draws, interpret):
+    from raytpu.kernels.trace_spheres import compose_sky
+
+    out6, _ = _mkm_forward(
+        scene, cfg, origin, direction, bounce_draws, interpret,
+        with_indices=False,
+    )
+    return compose_sky(scene, cfg, out6)
+
+
+def _mkm_sky_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
+    from raytpu.kernels.trace_spheres import compose_sky
+
+    out6, idx = _mkm_forward(
+        scene, cfg, origin, direction, bounce_draws, interpret,
+        with_indices=True,
+    )
+    out = compose_sky(scene, cfg, out6)
+    return out, (scene, origin, direction, bounce_draws, idx)
+
+
+def _mkm_sky_bwd(cfg, interpret, res, g):
+    # sky scenes replay through the scan integrator with the recorded
+    # winner indices: its closest_hit swaps the sky texel into the
+    # winner's emission differentiably (integrator/hit.py), so sky-
+    # texture gradients ride the replay like every other scene leaf
+    scene, origin, direction, bounce_draws, idx = res
+    from raytpu.integrator.path import trace as scan_trace
+
+    def replay(scene, origin, direction, draws):
+        return scan_trace(
+            scene, cfg, origin, direction, draws, bounce_idx=idx
+        )
+
+    _, pull = jax.vjp(replay, scene, origin, direction, bounce_draws)
+    return pull(g)
+
+
+_mkm_sky.defvjp(_mkm_sky_fwd, _mkm_sky_bwd)
 
 
 # the mesh megakernel carries an index-replay backward; render() may
@@ -1117,6 +1483,11 @@ def _mkm_forward(
 
     geom = precompute(scene.triangles)
     sph, tri, trivm, boxes, mats, atlas = pack_scene(scene, geom)
+    # rectangle fast path: active only when the scene loader detected
+    # coplanar pairs AND merge_quads is on (both live on the static cfg)
+    pairs = cfg.quad_pairs if cfg.merge_quads else ()
+    qtab, qbox, ltab, lbox = pack_quads(scene, geom, pairs)
+    n_leftover = scene.triangles.count - 2 * len(pairs) if pairs else 0
 
     ox, oy, oz = (pad_rows(c, rows) for c in origin)
     dx, dy, dz = (pad_rows(c, rows) for c in direction)
@@ -1128,8 +1499,10 @@ def _mkm_forward(
     )
 
     has_atlas = scene.atlas.alpha.shape[0] > 0
+    sky = _sky_statics(scene)
     out = _trace_call(
-        sph, tri, trivm, boxes, mats, atlas, ox, oy, oz, dx, dy, dz, draws,
+        sph, tri, trivm, boxes, mats, atlas, qtab, qbox, ltab, lbox,
+        ox, oy, oz, dx, dy, dz, draws,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
         n_mats=scene.mat_table.emission_strength.shape[0],
         has_atlas=has_atlas,
@@ -1142,12 +1515,21 @@ def _mkm_forward(
         n_draws=nd, hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
         tile_rows=tile_rows,
         tex_limbs=1 if scene.atlas.packed is not None else 3,
-        with_indices=with_indices, interpret=interpret,
+        with_indices=with_indices, n_quads=len(pairs),
+        n_leftover=n_leftover, **sky, interpret=interpret,
     )
-    flat = [o.reshape(-1)[:b] for o in out[:9]]
-    idx = out[9].reshape(bn, -1)[:, :b] if with_indices else None
-    return (
+    n_base = 16 if sky["sky_idx"] >= 0 else 9
+    flat = [o.reshape(-1)[:b] for o in out[:n_base]]
+    idx = out[n_base].reshape(bn, -1)[:, :b] if with_indices else None
+    base = (
         Vec3(flat[0], flat[1], flat[2]),
         Vec3(flat[3], flat[4], flat[5]),
         Vec3(flat[6], flat[7], flat[8]),
-    ), idx
+    )
+    if n_base == 16:
+        base = base + (
+            Vec3(flat[9], flat[10], flat[11]),   # sky scale
+            Vec3(flat[12], flat[13], flat[14]),  # sky unit hit direction
+            flat[15],                            # early-return flag
+        )
+    return base, idx

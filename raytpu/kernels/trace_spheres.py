@@ -84,8 +84,10 @@ def _forward_body(
     first sky interaction either early-returns (ray done) or multiplies
     the throughput by the black diffuse, so every later sky event
     contributes exactly zero. raytpu.config enforces the convention at
-    scene load. With sky on, the body returns 14 planes:
-    9 base + scale3 + texel index + early flag.
+    scene load. With sky on, the body returns 16 planes:
+    9 base + scale3 + unit hit direction 3 + early flag (the direction,
+    not a texel index — Mosaic cannot lower the acos/atan2 UV chain, so
+    it runs outside in compose_sky, bit-identical to sky_emission).
     """
     f0 = jnp.zeros(rox.shape, jnp.float32)
     f1 = jnp.ones(rox.shape, jnp.float32)
@@ -102,7 +104,7 @@ def _forward_body(
     medium_n2 = f1
     if sky_idx >= 0:
         sklx, skly, sklz = f0, f0, f0     # sky-slot throughput scale
-        sky_tex = -f1                     # sky-slot texel index (-1 none)
+        skdx, skdy, skdz = f0, f0, f0     # sky-slot unit hit direction
         early_f = f0                      # slot is an emissive early return
         slot_f = f0                       # slot taken
 
@@ -151,32 +153,25 @@ def _forward_body(
          estr, refl, alpha, ior) = ch
 
         if sky_idx >= 0:
-            # equirect texel index (sphere_uvmapping, texture.h:92-112);
-            # the emission placeholder is zeroed so the in-kernel
-            # accumulation contributes nothing — the wrapper adds
-            # scale * sky_rgb outside. The whole UV chain ends in a
-            # float->int floor, so it carries no gradient (same as the
-            # scan path's sky_emission) and the r-guard below cannot
-            # perturb grads; it only keeps miss lanes (r == 0) finite.
+            # equirect sky slot (sphere_uvmapping, texture.h:92-112):
+            # the kernel records the unit hit DIRECTION d = (p - c)/r;
+            # the acos/atan2 UV chain runs OUTSIDE (compose_sky) — Mosaic
+            # has no acos/atan2 lowering, and outside it is op-for-op
+            # the scan path's sky_emission, so texel indices stay
+            # bit-identical. The emission placeholder is zeroed so the
+            # in-kernel accumulation contributes nothing; the wrapper
+            # adds scale * sky_rgb outside. The whole direction chain
+            # ends in a float->int floor outside, so it carries no
+            # gradient (same as sky_emission); the r-guard only keeps
+            # miss lanes (r == 0) finite.
             sky_win = did_hit & (bidx == sky_idx)
             emx = jnp.where(sky_win, f0, emx)
             emy = jnp.where(sky_win, f0, emy)
             emz = jnp.where(sky_win, f0, emz)
             r_safe = jnp.where(r > 0.0, r, 1.0)   # miss lanes only; masked
+            sdx = (px - cx) / r_safe
             sdy = (py - cy) / r_safe
-            theta = jnp.arccos(jnp.clip(-sdy, -1.0, 1.0))
-            phi = jnp.arctan2(
-                -(pz - cz) / r_safe, (px - cx) / r_safe
-            ) + jnp.float32(jnp.pi)
-            s_u = phi / jnp.float32(2.0 * jnp.pi)
-            s_v = theta / jnp.float32(jnp.pi)
-            s_x = jnp.clip(
-                jnp.floor(s_u * sky_w).astype(jnp.int32), 0, sky_w - 1
-            )
-            s_y = jnp.clip(
-                jnp.floor(s_v * sky_h).astype(jnp.int32), 0, sky_h - 1
-            )
-            stex = (s_y * sky_w + s_x).astype(jnp.float32)
+            sdz = (pz - cz) / r_safe
 
         # outward normal normalize(p - c) (sphere.h:33,42)
         nvx, nvy, nvz = px - cx, py - cy, pz - cz
@@ -324,7 +319,9 @@ def _forward_body(
             sklx = jnp.where(take_e, f1, jnp.where(take_a, e_scale * rcx, sklx))
             skly = jnp.where(take_e, f1, jnp.where(take_a, e_scale * rcy, skly))
             sklz = jnp.where(take_e, f1, jnp.where(take_a, e_scale * rcz, sklz))
-            sky_tex = jnp.where(take, stex, sky_tex)
+            skdx = jnp.where(take, sdx, skdx)
+            skdy = jnp.where(take, sdy, skdy)
+            skdz = jnp.where(take, sdz, skdz)
             early_f = jnp.where(take_e, f1, early_f)
             slot_f = jnp.where(take, f1, slot_f)
         ix = jnp.where(accum, ix + emx * e_scale * rcx, ix)
@@ -387,7 +384,7 @@ def _forward_body(
 
     if sky_idx >= 0:
         return (ix, iy, iz, ax_, ay_, az_, nx_, ny_, nz_,
-                sklx, skly, sklz, sky_tex, early_f)
+                sklx, skly, sklz, skdx, skdy, skdz, early_f)
     return ix, iy, iz, ax_, ay_, az_, nx_, ny_, nz_
 
 
@@ -401,7 +398,7 @@ def _kernel(
     sph_ref,      # SMEM (14, S_pad): cx cy cz r | dif3 emi3 estr refl alpha ior
     ox, oy, oz, dx, dy, dz,          # VMEM (ROWS, LANE) ray tiles
     draws_ref,                        # VMEM (BN*n_draws, ROWS, LANE)
-    *out_refs,   # 9 planes (inc3 alb3 nrm3) + 5 sky planes when sky is on
+    *out_refs,   # 9 planes (inc3 alb3 nrm3) + 7 sky planes when sky is on
     n_spheres, bounces, n_draws, **statics,
 ):
     sv = _read_table(sph_ref, n_spheres)
@@ -445,7 +442,7 @@ def _bwd_kernel(
     sv = _read_table(sph_ref, n_spheres)
     draws = [draws_ref[j] for j in range(bounces * n_draws)]
     # with sky, 12 outputs are differentiable (9 base + the sky scale);
-    # the texel-index and early-flag planes end in int casts/comparisons
+    # the unit-direction and early-flag planes end in int casts/comparisons
     # outside, so their cotangents are identically zero and the vjp'd
     # body simply drops them
     n_g = 12 if statics.get("sky_idx", -1) >= 0 else 9
@@ -498,7 +495,7 @@ def _trace_call(
 ):
     rows = ox.shape[0]
     grid = (rows // ROWS,)
-    n_out = 14 if sky_idx >= 0 else 9
+    n_out = 16 if sky_idx >= 0 else 9
     ray_spec = pl.BlockSpec(
         (ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -704,12 +701,30 @@ def trace_megakernel(
     out = _mk_vjp(scene, cfg, origin, direction, bounce_draws, interpret)
     if _sky_statics(scene)["sky_idx"] < 0:
         return out
+    return compose_sky(scene, cfg, out)
 
+
+def compose_sky(scene: Scene, cfg: RenderConfig, out6):
+    """Slot -> radiance composition, shared with the mesh megakernel
+    (kernels/trace_scene). ``out6`` = (inc, alb, nrm, scale Vec3,
+    unit-direction Vec3, early flag). The UV chain is op-for-op
+    materials.texture.sky_emission (acos/atan2/floor — ops Mosaic cannot
+    lower, which is why the kernel records the direction, not the
+    texel), so texel indices are bit-identical to the scan path. Miss
+    lanes carry direction (0,0,0): they gather SOME texel but their
+    scale and early flag are 0, so the value is discarded exactly."""
     from raytpu.core.color import hsl_boost
     from raytpu.core.gather import gather_channels
 
-    inc, alb, nrm, skl, stex, early_p = out
-    idx = jnp.maximum(stex, 0.0).astype(jnp.int32)
+    inc, alb, nrm, skl, sdir, early_p = out6
+    theta = jnp.arccos(jnp.clip(-sdir.y, -1.0, 1.0))
+    phi = jnp.arctan2(-sdir.z, sdir.x) + jnp.pi
+    u = phi / (2.0 * jnp.pi)
+    v = theta / jnp.pi
+    w, h = scene.sky.width, scene.sky.height
+    x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
+    idx = y * w + x
     r, g, b = gather_channels(
         [scene.sky.rgb.x, scene.sky.rgb.y, scene.sky.rgb.z], idx
     )
@@ -746,8 +761,8 @@ def _mk_forward(scene, cfg, origin, direction, bounce_draws, interpret):
         return base
     return base + (
         Vec3(flat[9], flat[10], flat[11]),   # sky scale
-        flat[12],                            # sky texel index (f32)
-        flat[13],                            # early-return flag
+        Vec3(flat[12], flat[13], flat[14]),  # sky unit hit direction
+        flat[15],                            # early-return flag
     )
 
 
@@ -777,9 +792,9 @@ def _mk_bwd(cfg, interpret, res, g):
     )
     rows = ox.shape[0]
     # cotangent tiles: 3 base Vec3s, + the sky-scale Vec3 when the sky
-    # slot is on (the texel-index/early-flag planes only feed int casts
-    # and comparisons outside, so their cotangents are identically zero
-    # and are dropped here)
+    # slot is on (the unit-direction/early-flag planes only feed the
+    # floor-quantized texel index and comparisons outside, so their
+    # cotangents are identically zero and are dropped here)
     g_vecs = g[:4] if len(g) > 3 else g[:3]
     g9 = [
         _pad_rows(c, rows)

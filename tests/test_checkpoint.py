@@ -54,6 +54,33 @@ def test_resume_is_bit_identical(tmp_path, setup):
     np.testing.assert_array_equal(straight.image, resumed.image)
 
 
+def test_resume_with_quad_pairs(tmp_path):
+    """Regression (VERDICT r3 item 2): tuple-typed config fields
+    (quad_pairs) JSON-round-trip to lists; the fingerprint comparison
+    must canonicalize both sides or EVERY mesh-scene resume raises."""
+    from raytpu.config import load_scene
+
+    scene, cam, cfg = load_scene("scenes/pyramide_eau.toml")
+    assert len(cfg.quad_pairs) > 0, "pyramide_eau should detect quad pairs"
+    cfg = cfg.replace(width=12, height=8, spp=6)
+    key = jax.random.PRNGKey(3)
+    path = str(tmp_path / "q.npz")
+
+    partial = render_image_checkpointed(
+        scene, cam, cfg.replace(spp=3), key, path, flush_every=3
+    )
+    st = load_checkpoint(path, cfg.replace(spp=3), 3)
+    rad, alb, nrm, done = st
+    assert done == 3
+    save_checkpoint(path, rad, alb, nrm, done, cfg, 3)
+    resumed = render_image_checkpointed(scene, cam, cfg, key, path)
+    straight = render_image(scene, cam, cfg, key)
+    np.testing.assert_array_equal(straight.image, resumed.image)
+    # and a DIFFERENT quad_pairs still fails loudly
+    with pytest.raises(ValueError, match="different settings"):
+        load_checkpoint(path, cfg.replace(quad_pairs=((0, 1, 0),)), 3)
+
+
 def test_mismatched_settings_fail(tmp_path, setup):
     scene, cam, cfg, key = setup
     path = str(tmp_path / "r.npz")
