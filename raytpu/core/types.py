@@ -331,6 +331,14 @@ class RenderConfig:
     # with the scan integrator.
     merge_quads: bool = True
     quad_pairs: "tuple[tuple[int, int, int], ...]" = ()
+    # static axis-aligned classification of quad_pairs / leftover
+    # triangles (geometry/quads.classify_axis_aligned): the kernel
+    # serves axis-aligned rects/tris from cheaper per-(axis, sign)
+    # grouped loops. Parallel to quad_pairs: () = general, (k, s, m) =
+    # axis-aligned; quad_aa_tris lists (tri_index, k, s) for unpaired
+    # axis-aligned triangles.
+    quad_aa_rects: tuple = ()
+    quad_aa_tris: tuple = ()
 
     @property
     def n_pixels(self) -> int:

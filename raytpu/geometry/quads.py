@@ -115,3 +115,65 @@ def leftover_indices(n_tris: int, pairs) -> tuple[int, ...]:
         used.add(i)
         used.add(j)
     return tuple(k for k in range(n_tris) if k not in used)
+
+
+def classify_axis_aligned(
+    ax, ay, az, bx, by, bz, cx, cy, cz, pairs,
+) -> tuple[tuple, tuple]:
+    """Static host-side classification for the kernel's axis-aligned
+    fast loops (block-world exports are overwhelmingly axis-aligned:
+    mcworld 256/266 rects + 43/74 leftover tris, caverne 379/380).
+
+    Returns ``(rect_classes, tri_classes)``:
+
+      * rect_classes: tuple parallel to ``pairs`` — ``()`` for a general
+        parallelogram, or ``(k, s, m)`` for an axis-aligned rectangle:
+        normal along axis ``k`` with sign ``s`` (±1), ``e1`` along
+        in-plane axis slot ``m`` (0 = the lower-numbered in-plane axis,
+        1 = the higher). Axis-aligned means the normal AND both edges
+        each have exactly one nonzero component (exact f32 zeros — true
+        for Mineways/Minecraft exports).
+      * tri_classes: tuple of ``(tri_index, k, s)`` for UNPAIRED
+        triangles whose normal is axis-aligned (edges arbitrary
+        in-plane).
+
+    Like detect_quad_pairs this runs on concrete arrays at scene-load
+    time; the result is static on RenderConfig so the kernel can build
+    per-(k, s) groups with static loop bounds.
+    """
+    V = np.stack(
+        [
+            np.stack([np.asarray(ax, np.float64), np.asarray(ay, np.float64),
+                      np.asarray(az, np.float64)], -1),
+            np.stack([np.asarray(bx, np.float64), np.asarray(by, np.float64),
+                      np.asarray(bz, np.float64)], -1),
+            np.stack([np.asarray(cx, np.float64), np.asarray(cy, np.float64),
+                      np.asarray(cz, np.float64)], -1),
+        ],
+        axis=1,
+    )
+    rect_classes = []
+    for (i, j, oi) in pairs:
+        a = V[i, oi]
+        e1 = V[i, (oi + 1) % 3] - a
+        e2 = V[i, (oi + 2) % 3] - a
+        n = np.cross(e1, e2)
+        nz = np.nonzero(n)[0]
+        if (
+            len(nz) == 1
+            and np.count_nonzero(e1) == 1
+            and np.count_nonzero(e2) == 1
+        ):
+            k = int(nz[0])
+            s = 1 if n[k] > 0 else -1
+            i1 = [a_ for a_ in range(3) if a_ != k][0]
+            rect_classes.append((k, s, 0 if e1[i1] != 0 else 1))
+        else:
+            rect_classes.append(())
+    tri_classes = []
+    for t in leftover_indices(V.shape[0], pairs):
+        n = np.cross(V[t, 1] - V[t, 0], V[t, 2] - V[t, 0])
+        nz = np.nonzero(n)[0]
+        if len(nz) == 1:
+            tri_classes.append((t, int(nz[0]), 1 if n[nz[0]] > 0 else -1))
+    return tuple(rect_classes), tuple(tri_classes)

@@ -192,6 +192,31 @@ def _render_tile(scene, cam, cfg, pixel_ids, key):
     return render(scene, cam, cfg, pixel_ids, key)
 
 
+def blocked_pixel_order(cfg: RenderConfig, block_w: int = 128,
+                        block_h: int = 64) -> np.ndarray:
+    """Pixel ids in screen-block-major order (128x64 blocks, row-major
+    inside each block).
+
+    The megakernels trace tiles of consecutive ids; with row-major
+    arange ids a 8192-ray tile is a 7-row strip of a 1200-wide frame,
+    and its rays diverge so much that the chunk culls almost never skip
+    (measured: NO_CULL == culled throughput on mcworld). A 128x64 block
+    is one full ROWS_BIG tile (or two stacked ROWS_WIDE_ATLAS tiles) of
+    a compact screen rectangle — a coherent ray cone, so per-tile
+    early-outs and cull pruning actually fire (+4% on mcworld, neutral
+    on sphere scenes). RNG keys hang off the pixel ID, so any order
+    produces bit-identical per-pixel values.
+    """
+    w, h = cfg.width, cfg.height
+    ids = np.arange(w * h, dtype=np.int32).reshape(h, w)
+    out = [
+        ids[y0 : y0 + block_h, x0 : x0 + block_w].ravel()
+        for y0 in range(0, h, block_h)
+        for x0 in range(0, w, block_w)
+    ]
+    return np.concatenate(out)
+
+
 class RenderOutput(NamedTuple):
     image: np.ndarray      # (H, W, 3) linear float mean radiance, row 0 = top
     canvas: np.ndarray     # (H, W, 3) quantized 0..255 ints (reference canva)
@@ -212,21 +237,25 @@ def render_image(
     n_tiles = (n_pix + tile - 1) // tile
     padded = n_tiles * tile
 
-    rad = np.zeros((padded, 3), np.float32)
-    alb = np.zeros((padded, 3), np.float32)
-    nrm = np.zeros((padded, 3), np.float32)
+    rad = np.zeros((n_pix, 3), np.float32)
+    alb = np.zeros((n_pix, 3), np.float32)
+    nrm = np.zeros((n_pix, 3), np.float32)
 
-    all_ids = np.arange(padded, dtype=np.int32)
-    all_ids = np.minimum(all_ids, n_pix - 1)  # pad by repeating last pixel
+    # block-major pixel order (blocked_pixel_order): coherent ray cones
+    # per kernel tile; results scatter back by pixel id. Padding repeats
+    # the last id — its duplicate entries compute identical sums, so the
+    # scatter is id-idempotent.
+    order = blocked_pixel_order(cfg)
+    all_ids = np.pad(order, (0, padded - n_pix), mode="edge")
 
     for t in range(n_tiles):
-        ids = jnp.asarray(all_ids[t * tile : (t + 1) * tile])
-        sums = _render_tile(scene, cam, cfg, ids, key)
-        rad[t * tile : (t + 1) * tile] = np.asarray(sums.radiance.to_array())
-        alb[t * tile : (t + 1) * tile] = np.asarray(sums.albedo.to_array())
-        nrm[t * tile : (t + 1) * tile] = np.asarray(sums.normal.to_array())
+        ids_np = all_ids[t * tile : (t + 1) * tile]
+        sums = _render_tile(scene, cam, cfg, jnp.asarray(ids_np), key)
+        rad[ids_np] = np.asarray(sums.radiance.to_array())
+        alb[ids_np] = np.asarray(sums.albedo.to_array())
+        nrm[ids_np] = np.asarray(sums.normal.to_array())
 
-    return assemble_image(cfg, rad[:n_pix], alb[:n_pix], nrm[:n_pix])
+    return assemble_image(cfg, rad, alb, nrm)
 
 
 def assemble_image(

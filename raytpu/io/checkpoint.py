@@ -148,27 +148,34 @@ def render_image_checkpointed(
     # exists for
     tile = min(cfg.pixel_tile, n_pix)
     n_tiles = (n_pix + tile - 1) // tile
-    all_ids = np.minimum(np.arange(n_tiles * tile, dtype=np.int32), n_pix - 1)
+    from raytpu.integrator.render import blocked_pixel_order
+
+    # block-major order for coherent kernel tiles (see render_image);
+    # per-pixel sums are order-independent (keys hang off the pixel id),
+    # so checkpoints stay bit-compatible across orderings
+    all_ids = np.pad(
+        blocked_pixel_order(cfg), (0, n_tiles * tile - n_pix), mode="edge"
+    )
 
     while done < cfg.spp:
         n = min(flush_every, cfg.spp - done)
         for t in range(n_tiles):
-            lo, hi_pad = t * tile, (t + 1) * tile
-            hi = min(hi_pad, n_pix)
-            ids = jnp.asarray(all_ids[lo:hi_pad])
+            ids_np = all_ids[t * tile : (t + 1) * tile]
             # resume the scan CARRY from the checkpointed sums: the
             # left-fold association of the f32 adds is then identical to
             # an uninterrupted run, making resume bit-exact
             init = RenderSums(
-                Vec3.from_array(jnp.asarray(rad[all_ids[lo:hi_pad]])),
-                Vec3.from_array(jnp.asarray(alb[all_ids[lo:hi_pad]])),
-                Vec3.from_array(jnp.asarray(nrm[all_ids[lo:hi_pad]])),
+                Vec3.from_array(jnp.asarray(rad[ids_np])),
+                Vec3.from_array(jnp.asarray(alb[ids_np])),
+                Vec3.from_array(jnp.asarray(nrm[ids_np])),
                 jnp.asarray(done, jnp.int32),
             )
-            sums = _render_batch(scene, cam, cfg, ids, key, done, init, n=n)
-            rad[lo:hi] = np.asarray(sums.radiance.to_array())[: hi - lo]
-            alb[lo:hi] = np.asarray(sums.albedo.to_array())[: hi - lo]
-            nrm[lo:hi] = np.asarray(sums.normal.to_array())[: hi - lo]
+            sums = _render_batch(
+                scene, cam, cfg, jnp.asarray(ids_np), key, done, init, n=n
+            )
+            rad[ids_np] = np.asarray(sums.radiance.to_array())
+            alb[ids_np] = np.asarray(sums.albedo.to_array())
+            nrm[ids_np] = np.asarray(sums.normal.to_array())
         done += n
         save_checkpoint(ckpt_path, rad, alb, nrm, done, cfg, seed)
         if log:

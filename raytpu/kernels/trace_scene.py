@@ -408,11 +408,14 @@ def _kernel(
     box_ref,      # SMEM (6, n_chunks): per-CULL_CHUNK AABB lo3 hi3
     mat_ref,      # SMEM (9, M_pad): em3 estr refl ior alpha_c use_c eft
     atlas_ref,    # VMEM (w4_pad, r_pad): A[ch*atlas_w + x, tex_y + h*mat]
-    qtab_ref,     # SMEM (14, Q_pad): rect a3 e1_3 e2_3 n3 i j
+    qtab_ref,     # SMEM (14, Q_pad): GENERAL rect a3 e1_3 e2_3 n3 i j
                   # (geometry/quads.py; i/j = the halves' tri indices, f32)
     qbox_ref,     # SMEM (6, q_chunks): per-chunk rect AABBs
-    ltab_ref,     # SMEM (13, L_pad): leftover tris a3 ab3 ac3 n3 origidx
+    ltab_ref,     # SMEM (13, L_pad): general leftover tris
+                  # a3 ab3 ac3 n3 origidx
     lbox_ref,     # SMEM (6, l_chunks)
+    aatab_ref,    # SMEM (8, N): axis-aligned rects (pack_aa layout)
+    aat3_ref,     # SMEM (9, L3): axis-aligned unpaired tris
     ox, oy, oz, dx, dy, dz,           # VMEM (ROWS, LANE) ray tiles
     draws_ref,                         # VMEM (BN*3, ROWS, LANE)
     inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
@@ -422,13 +425,16 @@ def _kernel(
     n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tex_limbs,
-    with_indices, n_quads, n_leftover, sky_idx, sky_w, sky_h,
+    with_indices, n_quads, n_leftover, aa_layout, sky_idx, sky_w, sky_h,
 ):
     f0 = jnp.zeros(ox.shape, jnp.float32)
     f1 = jnp.ones(ox.shape, jnp.float32)
     i0 = jnp.zeros(ox.shape, jnp.int32)
     n_chunks = box_ref.shape[1]
-    use_quads = n_quads > 0
+    # merged mode (aa_layout is a tuple, possibly all-zero counts):
+    # candidates rank as fractions and the per-triangle loop is replaced
+    # by aa-group + general-quad + general-leftover loops
+    use_merged = aa_layout is not None
     if sky_idx >= 0:
         sky_out, idx_ref_opt = opt_refs[:7], opt_refs[7:]
     else:
@@ -485,7 +491,7 @@ def _kernel(
                 hit_s & (t1 >= sphere_eps), t1,
                 jnp.where(hit_s & (t2 >= sphere_eps), t2, BIG),
             )
-            if use_quads:
+            if use_merged:
                 better = t * best_den < best
                 best_den = jnp.where(better, f1, best_den)
             else:
@@ -673,13 +679,123 @@ def _kernel(
 
             return jax.lax.fori_loop(0, box_r.shape[1], ch, win)
 
-        if use_quads:
+        if use_merged:
             if "tri" not in _ABLATE:
-                win = frac_cull_loop(
-                    qbox_ref, quad_body, (best, best_den, bidx)
-                )
+                # ---- axis-aligned groups (flat loops, no culls — the
+                # measured chunk-cull benefit on block worlds is ~0 while
+                # its cond overhead is real). All candidates in a (k, s)
+                # group share denominator detg = -s*d_k, so within-group
+                # ranking compares numerators directly and one fraction
+                # merge per group joins the global winner.
+                ro3 = (rox, roy, roz)
+                rd3 = (rdx, rdy, rdz)
+                r_off = t_off = 0
+                for (kx, sgn, cnt_a, cnt_b, cnt_t) in aa_layout:
+                    if cnt_a + cnt_b + cnt_t == 0:
+                        continue
+                    i1, i2 = [a_ for a_ in range(3) if a_ != kx]
+                    detg = -rd3[kx] if sgn > 0 else rd3[kx]
+                    so_k = ro3[kx] if sgn > 0 else -ro3[kx]
+                    epsd = tri_eps * detg
+                    hid = (1.0 - tri_eps) * detg
+                    X1 = ro3[i1] * detg
+                    X2 = ro3[i2] * detg
+                    d1, d2 = rd3[i1], rd3[i2]
+
+                    def rect_aa(Xm, dm, Xo, do_):
+                        def body(q, wing):
+                            bg, gi = wing
+                            numr = so_k - aatab_ref[0, q]
+                            pug = (
+                                Xm - aatab_ref[2, q] * detg + numr * dm
+                            ) * aatab_ref[3, q]
+                            pvg = (
+                                Xo - aatab_ref[4, q] * detg + numr * do_
+                            ) * aatab_ref[5, q]
+                            valid = (
+                                (detg >= aatab_ref[1, q])
+                                & (jnp.minimum(
+                                    numr, jnp.minimum(pug, pvg)) >= epsd)
+                                & (jnp.maximum(pug, pvg) <= hid)
+                            )
+                            num_c = jnp.where(valid, numr, BIG)
+                            # winning half: triangle i spans alpha+beta<=1
+                            win = jnp.where(
+                                pug + pvg <= detg,
+                                aatab_ref[6, q], aatab_ref[7, q],
+                            ).astype(jnp.int32)
+                            better = num_c < bg
+                            return (
+                                jnp.where(better, num_c, bg),
+                                jnp.where(better, win, gi),
+                            )
+                        return body
+
+                    def tri_aa(q, wing):
+                        bg, gi = wing
+                        numr = so_k - aat3_ref[0, q]
+                        P1 = X1 - aat3_ref[2, q] * detg + numr * d1
+                        P2 = X2 - aat3_ref[3, q] * detg + numr * d2
+                        ug = P1 * aat3_ref[4, q] + P2 * aat3_ref[5, q]
+                        vg = P1 * aat3_ref[6, q] + P2 * aat3_ref[7, q]
+                        valid = (
+                            (detg >= aat3_ref[1, q])
+                            & (jnp.minimum(numr, jnp.minimum(ug, vg)) >= epsd)
+                            & (ug + vg <= hid)       # w >= tri_eps
+                        )
+                        num_c = jnp.where(valid, numr, BIG)
+                        win = aat3_ref[8, q].astype(jnp.int32)
+                        better = num_c < bg
+                        return (
+                            jnp.where(better, num_c, bg),
+                            jnp.where(better, win, gi),
+                        )
+
+                    wing = (
+                        jnp.full(ox.shape, BIG, jnp.float32),
+                        jnp.full(ox.shape, -1, jnp.int32),
+                    )
+                    if cnt_a:
+                        wing = jax.lax.fori_loop(
+                            r_off, r_off + cnt_a,
+                            rect_aa(X1, d1, X2, d2), wing,
+                        )
+                    if cnt_b:
+                        wing = jax.lax.fori_loop(
+                            r_off + cnt_a, r_off + cnt_a + cnt_b,
+                            rect_aa(X2, d2, X1, d1), wing,
+                        )
+                    if cnt_t:
+                        wing = jax.lax.fori_loop(
+                            t_off, t_off + cnt_t, tri_aa, wing,
+                        )
+                    r_off += cnt_a + cnt_b
+                    t_off += cnt_t
+                    bg, gi = wing
+                    deng = jnp.where(detg > 0.0, detg, f1)
+                    better = bg * best_den < best * deng
+                    best = jnp.where(better, bg, best)
+                    best_den = jnp.where(better, deng, best_den)
+                    bidx = jnp.where(better, n_spheres + gi, bidx)
+
+                # general (non-aa) remainder: on the shipped block
+                # worlds it is a handful of primitives (mcworld: 10
+                # rects + 31 plant tris), so a flat loop beats paying a
+                # ~540ns taken-cond per chunk per bounce; big general
+                # sets keep the chunked culls
+                win = (best, best_den, bidx)
+                if n_quads > 0:
+                    if n_quads <= 2 * CULL_CHUNK:
+                        win = jax.lax.fori_loop(0, n_quads, quad_body, win)
+                    else:
+                        win = frac_cull_loop(qbox_ref, quad_body, win)
                 if n_leftover > 0:
-                    win = frac_cull_loop(lbox_ref, left_body, win)
+                    if n_leftover <= 2 * CULL_CHUNK:
+                        win = jax.lax.fori_loop(
+                            0, n_leftover, left_body, win
+                        )
+                    else:
+                        win = frac_cull_loop(lbox_ref, left_body, win)
                 best, best_den, bidx = win
             # the deferred division: one per (ray, bounce) instead of one
             # per (ray, primitive); misses keep BIG (den 1)
@@ -719,6 +835,11 @@ def _kernel(
         acc0 = jnp.zeros((trivm_ref.shape[0], n), jnp.float32)
         ext_iota = jax.lax.broadcasted_iota(jnp.int32, (EXT_CHUNK, n), 0)
 
+        # NOTE a shared low-part onehot with per-chunk high masks would
+        # halve the compare+cast work, but keeping the (EXT_CHUNK, n)
+        # bf16 plane live across the chunk loop pushes the kernel 1.8MB
+        # past the 16MB scoped-VMEM limit at ROWS_BIG (measured OOM) —
+        # the per-chunk transient below is the VMEM-feasible form
         def ext_chunk(c, acc):
             onehot = (ext_iota == sel_flat - c * EXT_CHUNK).astype(
                 jnp.bfloat16
@@ -1006,17 +1127,18 @@ def _kernel(
         "atlas_w", "atlas_h", "bounces", "sphere_eps", "det_eps",
         "tri_eps", "alpha_lo", "alpha_hi", "bright_boost",
         "bright_threshold", "n_draws", "hsl_l", "hsl_s", "tile_rows",
-        "tex_limbs", "with_indices", "n_quads", "n_leftover",
+        "tex_limbs", "with_indices", "n_quads", "n_leftover", "aa_layout",
         "sky_idx", "sky_w", "sky_h", "interpret",
     ),
 )
 def _trace_call(
     sph, tri, trivm, boxes, mats, atlas, qtab, qbox, ltab, lbox,
+    aatab, aat3,
     ox, oy, oz, dx, dy, dz, draws,
     *, n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tile_rows,
-    tex_limbs, with_indices, n_quads, n_leftover,
+    tex_limbs, with_indices, n_quads, n_leftover, aa_layout,
     sky_idx, sky_w, sky_h, interpret,
 ):
     rows = ox.shape[0]
@@ -1045,7 +1167,7 @@ def _trace_call(
         bright_threshold=bright_threshold, n_draws=n_draws,
         hsl_l=hsl_l, hsl_s=hsl_s, tex_limbs=tex_limbs,
         with_indices=with_indices, n_quads=n_quads, n_leftover=n_leftover,
-        sky_idx=sky_idx, sky_w=sky_w, sky_h=sky_h,
+        aa_layout=aa_layout, sky_idx=sky_idx, sky_w=sky_w, sky_h=sky_h,
     )
     n_base = 16 if sky_idx >= 0 else 9
     out_specs = [ray_spec] * n_base
@@ -1062,14 +1184,14 @@ def _trace_call(
         kernel,
         grid=grid,
         in_specs=[smem, smem, trivm_spec, smem, smem, atlas_spec]
-        + [smem] * 4
+        + [smem] * 6
         + [ray_spec] * 6
         + [draws_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(sph, tri, trivm, boxes, mats, atlas, qtab, qbox, ltab, lbox,
-      ox, oy, oz, dx, dy, dz, draws)
+      aatab, aat3, ox, oy, oz, dx, dy, dz, draws)
 
 
 def _limb3(a: Array, pad_to: int) -> Array:
@@ -1176,8 +1298,102 @@ def _chunk_boxes(xs, ys, zs, n: int) -> Array:
     return boxes + jnp.concatenate([-eps[:3], eps[3:]], axis=0)
 
 
-def pack_quads(scene: Scene, geom: TriangleGeom, pairs):
-    """Host-side packing for the rectangle fast path (geometry/quads.py):
+def _aa_partition(rect_classes, tri_classes):
+    """Static group-major ordering for the axis-aligned fast loops.
+
+    Returns ``(layout, rect_sel, tri_sel)``:
+      layout:   6 tuples (k, s, cnt_rect_m0, cnt_rect_m1, cnt_tri) —
+                one per (normal axis, sign) group in fixed order
+      rect_sel: [(pair_index, k, s, m), ...] in aatab column order
+      tri_sel:  [(tri_index, k, s), ...] in aat3 column order
+    """
+    layout, rect_sel, tri_sel = [], [], []
+    for k in range(3):
+        for s in (1, -1):
+            ra = [p for p, c in enumerate(rect_classes) if c == (k, s, 0)]
+            rb = [p for p, c in enumerate(rect_classes) if c == (k, s, 1)]
+            tt = [t for (t, kk, ss) in tri_classes if (kk, ss) == (k, s)]
+            layout.append((k, s, len(ra), len(rb), len(tt)))
+            rect_sel += [(p, k, s, 0) for p in ra] + [(p, k, s, 1) for p in rb]
+            tri_sel += [(t, k, s) for t in tt]
+    return tuple(layout), rect_sel, tri_sel
+
+
+def pack_aa(scene: Scene, geom: TriangleGeom, pairs, rect_sel, tri_sel,
+            det_eps: float):
+    """Tables for the axis-aligned fast loops (geometry/quads.py
+    classify_axis_aligned). All quantities are normalized by the plane-
+    normal magnitude u = |n_k| so the per-ray group scalar
+    detg = -s*d_k IS the candidate's denominator (t = numr/detg) and
+    validity thresholds are shared per group.
+
+      aatab (8, N)  per aa rect:  ck=s*a_k | du=det_eps/u | a_m | 1/e1_m
+                    | a_o | 1/e2_o | i | j   (m = e1's in-plane axis,
+                    o = e2's; pug = alpha*detg, pvg = beta*detg)
+      aat3  (9, L)  per aa unpaired tri: ck | du | a_i1 | a_i2
+                    | ac_i2/D | -ac_i1/D | -ab_i2/D | ab_i1/D | idx
+                    (D = the in-plane 2x2 determinant, |D| = u)
+    """
+    import numpy as np
+    from itertools import groupby
+
+    tris = scene.triangles
+    V = (
+        jnp.stack([tris.a.x, tris.b.x, tris.c.x]),
+        jnp.stack([tris.a.y, tris.b.y, tris.c.y]),
+        jnp.stack([tris.a.z, tris.b.z, tris.c.z]),
+    )
+    blocks = []
+    for (k, s, m), grp in groupby(rect_sel, key=lambda r: r[1:]):
+        ps = [g[0] for g in grp]
+        i_idx = np.array([pairs[p][0] for p in ps], np.int32)
+        j_idx = np.array([pairs[p][1] for p in ps], np.int32)
+        oi = np.array([pairs[p][2] for p in ps], np.int32)
+        s1s, s2s = (oi + 1) % 3, (oi + 2) % 3
+        i1, i2 = [a_ for a_ in range(3) if a_ != k]
+        m_axis = i1 if m == 0 else i2
+        o_axis = i2 if m == 0 else i1
+        a_k = V[k][oi, i_idx]
+        a_m = V[m_axis][oi, i_idx]
+        a_o = V[o_axis][oi, i_idx]
+        e1m = V[m_axis][s1s, i_idx] - a_m
+        e2o = V[o_axis][s2s, i_idx] - a_o
+        u = jnp.abs(e1m * e2o)
+        blocks.append(jnp.stack([
+            s * a_k, det_eps / u, a_m, 1.0 / e1m, a_o, 1.0 / e2o,
+            jnp.asarray(i_idx, jnp.float32), jnp.asarray(j_idx, jnp.float32),
+        ]))
+    aatab = (
+        jnp.concatenate(blocks, axis=1)
+        if blocks else jnp.zeros((8, 8), jnp.float32)
+    )
+
+    A = (geom.a.x, geom.a.y, geom.a.z)
+    AB = (geom.edge_ab.x, geom.edge_ab.y, geom.edge_ab.z)
+    AC = (geom.edge_ac.x, geom.edge_ac.y, geom.edge_ac.z)
+    blocks3 = []
+    for (k, s), grp in groupby(tri_sel, key=lambda r: r[1:]):
+        ts = np.array([g[0] for g in grp], np.int32)
+        i1, i2 = [a_ for a_ in range(3) if a_ != k]
+        ab1, ab2 = AB[i1][ts], AB[i2][ts]
+        ac1, ac2 = AC[i1][ts], AC[i2][ts]
+        D = ab1 * ac2 - ab2 * ac1
+        blocks3.append(jnp.stack([
+            s * A[k][ts], det_eps / jnp.abs(D), A[i1][ts], A[i2][ts],
+            ac2 / D, -ac1 / D, -ab2 / D, ab1 / D,
+            jnp.asarray(ts, jnp.float32),
+        ]))
+    aat3 = (
+        jnp.concatenate(blocks3, axis=1)
+        if blocks3 else jnp.zeros((9, 8), jnp.float32)
+    )
+    return aatab, aat3
+
+
+def pack_quads(scene: Scene, geom: TriangleGeom, gen_pairs,
+               all_pairs=None, exclude_tris=frozenset()):
+    """Host-side packing for the GENERAL (non-axis-aligned) rectangle
+    path (geometry/quads.py):
 
       qtab   (14, Q_pad)  a3 e1_3 e2_3 n3 i j — parallelogram corner =
                           triangle i's vertex opposite the shared edge,
@@ -1186,67 +1402,78 @@ def pack_quads(scene: Scene, geom: TriangleGeom, pairs):
                           triangle i's raw normal and the det_eps
                           backface cull matches the per-triangle loop)
       qboxes (6, q_chunks) per-CULL_CHUNK AABBs over all four corners
-      ltab   (13, L_pad)  unpaired triangles a3 ab3 ac3 n3 origidx
+      ltab   (13, L_pad)  unpaired general triangles a3 ab3 ac3 n3 idx
       lboxes (6, l_chunks)
 
-    ``pairs`` is the static detect_quad_pairs tuple carried on
-    RenderConfig; indices are original triangle indices, so the winner
-    the kernel records feeds the SAME extraction/shading/backward-replay
-    machinery as the per-triangle loop.
+    ``gen_pairs`` are the pairs NOT served by the axis-aligned loops;
+    leftovers are computed against ``all_pairs`` (every detected pair)
+    minus ``exclude_tris`` (unpaired tris the aa loops serve). Indices
+    are original triangle indices, so the winner the kernel records
+    feeds the SAME extraction/shading/backward-replay machinery as the
+    per-triangle loop.
     """
     import numpy as np
 
-    n_t = scene.triangles.count
-    if not pairs:
-        return (
-            jnp.zeros((14, CULL_CHUNK), jnp.float32),
-            jnp.zeros((6, 1), jnp.float32),
-            jnp.zeros((13, CULL_CHUNK), jnp.float32),
-            jnp.zeros((6, 1), jnp.float32),
-        )
     from raytpu.geometry.quads import leftover_indices
 
-    i_idx = np.array([p[0] for p in pairs], np.int32)
-    j_idx = np.array([p[1] for p in pairs], np.int32)
-    oi = np.array([p[2] for p in pairs], np.int32)
-    s1s, s2s = (oi + 1) % 3, (oi + 2) % 3
-    tris = scene.triangles
-    n_q = len(pairs)
-    q_pad = max(-(-n_q // CULL_CHUNK) * CULL_CHUNK, CULL_CHUNK)
-
-    per_axis = []
-    for coord in "xyz":
-        V = jnp.stack([
-            getattr(tris.a, coord), getattr(tris.b, coord),
-            getattr(tris.c, coord),
-        ])                                              # (3 slots, T)
-        a_ = V[oi, i_idx]
-        s1, s2 = V[s1s, i_idx], V[s2s, i_idx]
-        per_axis.append((a_, s1 - a_, s2 - a_, s1 + s2 - a_, s1, s2))
-    ((ax_, e1x, e2x, d4x, s1x, s2x),
-     (ay_, e1y, e2y, d4y, s1y, s2y),
-     (az_, e1z, e2z, d4z, s1z, s2z)) = per_axis
-    nx = e1y * e2z - e1z * e2y
-    ny = e1z * e2x - e1x * e2z
-    nz = e1x * e2y - e1y * e2x
-    qtab = pad_prims(
-        [ax_, ay_, az_, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz,
-         jnp.asarray(i_idx, jnp.float32), jnp.asarray(j_idx, jnp.float32)],
-        q_pad,
+    n_t = scene.triangles.count
+    zq = (
+        jnp.zeros((14, CULL_CHUNK), jnp.float32),
+        jnp.zeros((6, 1), jnp.float32),
     )
-    qboxes = _chunk_boxes(
-        [ax_, s1x, s2x, d4x], [ay_, s1y, s2y, d4y], [az_, s1z, s2z, d4z],
-        n_q,
+    zl = (
+        jnp.zeros((13, CULL_CHUNK), jnp.float32),
+        jnp.zeros((6, 1), jnp.float32),
     )
+    if all_pairs is None:
+        all_pairs = gen_pairs
+    if not all_pairs:
+        return zq + zl
 
-    lidx = np.array(leftover_indices(n_t, pairs), np.int32)
+    if gen_pairs:
+        i_idx = np.array([p[0] for p in gen_pairs], np.int32)
+        j_idx = np.array([p[1] for p in gen_pairs], np.int32)
+        oi = np.array([p[2] for p in gen_pairs], np.int32)
+        s1s, s2s = (oi + 1) % 3, (oi + 2) % 3
+        tris = scene.triangles
+        n_q = len(gen_pairs)
+        q_pad = max(-(-n_q // CULL_CHUNK) * CULL_CHUNK, CULL_CHUNK)
+
+        per_axis = []
+        for coord in "xyz":
+            V = jnp.stack([
+                getattr(tris.a, coord), getattr(tris.b, coord),
+                getattr(tris.c, coord),
+            ])                                          # (3 slots, T)
+            a_ = V[oi, i_idx]
+            s1, s2 = V[s1s, i_idx], V[s2s, i_idx]
+            per_axis.append((a_, s1 - a_, s2 - a_, s1 + s2 - a_, s1, s2))
+        ((ax_, e1x, e2x, d4x, s1x, s2x),
+         (ay_, e1y, e2y, d4y, s1y, s2y),
+         (az_, e1z, e2z, d4z, s1z, s2z)) = per_axis
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        qtab = pad_prims(
+            [ax_, ay_, az_, e1x, e1y, e1z, e2x, e2y, e2z, nx, ny, nz,
+             jnp.asarray(i_idx, jnp.float32),
+             jnp.asarray(j_idx, jnp.float32)],
+            q_pad,
+        )
+        qboxes = _chunk_boxes(
+            [ax_, s1x, s2x, d4x], [ay_, s1y, s2y, d4y],
+            [az_, s1z, s2z, d4z], n_q,
+        )
+        zq = (qtab, qboxes)
+
+    lidx = np.array(
+        [t for t in leftover_indices(n_t, all_pairs)
+         if t not in exclude_tris],
+        np.int32,
+    )
     n_l = lidx.shape[0]
     if n_l == 0:
-        return (
-            qtab, qboxes,
-            jnp.zeros((13, CULL_CHUNK), jnp.float32),
-            jnp.zeros((6, 1), jnp.float32),
-        )
+        return zq + zl
     l_pad = max(-(-n_l // CULL_CHUNK) * CULL_CHUNK, CULL_CHUNK)
     g = lambda v: v[lidx]
     ltab = pad_prims(
@@ -1269,7 +1496,7 @@ def pack_quads(scene: Scene, geom: TriangleGeom, pairs):
         [g(geom.a.z), lb[2], lc[2]],
         n_l,
     )
-    return qtab, qboxes, ltab, lboxes
+    return zq + (ltab, lboxes)
 
 
 def pack_mats(scene: Scene) -> Array:
@@ -1484,10 +1711,40 @@ def _mkm_forward(
     geom = precompute(scene.triangles)
     sph, tri, trivm, boxes, mats, atlas = pack_scene(scene, geom)
     # rectangle fast path: active only when the scene loader detected
-    # coplanar pairs AND merge_quads is on (both live on the static cfg)
+    # coplanar pairs AND merge_quads is on (both live on the static cfg).
+    # Axis-aligned rects/tris (quad_aa_* classifications) go to the
+    # cheap per-(axis, sign) grouped loops; everything else to the
+    # general fraction-ranked loops.
     pairs = cfg.quad_pairs if cfg.merge_quads else ()
-    qtab, qbox, ltab, lbox = pack_quads(scene, geom, pairs)
-    n_leftover = scene.triangles.count - 2 * len(pairs) if pairs else 0
+    if pairs:
+        rect_classes = (
+            cfg.quad_aa_rects
+            if len(cfg.quad_aa_rects) == len(pairs)
+            else tuple(() for _ in pairs)
+        )
+        tri_classes = cfg.quad_aa_tris
+        aa_layout, rect_sel, tri_sel = _aa_partition(
+            rect_classes, tri_classes
+        )
+        gen_pairs = tuple(
+            p for p, c in zip(pairs, rect_classes) if c == ()
+        )
+        aatab, aat3 = pack_aa(
+            scene, geom, pairs, rect_sel, tri_sel, cfg.tri_det_eps
+        )
+        qtab, qbox, ltab, lbox = pack_quads(
+            scene, geom, gen_pairs, all_pairs=pairs,
+            exclude_tris=frozenset(t for (t, _, _) in tri_classes),
+        )
+        n_quads = len(gen_pairs)
+        n_leftover = (
+            scene.triangles.count - 2 * len(pairs) - len(tri_sel)
+        )
+    else:
+        aa_layout, n_quads, n_leftover = None, 0, 0
+        aatab = jnp.zeros((8, 8), jnp.float32)
+        aat3 = jnp.zeros((9, 8), jnp.float32)
+        qtab, qbox, ltab, lbox = pack_quads(scene, geom, ())
 
     ox, oy, oz = (pad_rows(c, rows) for c in origin)
     dx, dy, dz = (pad_rows(c, rows) for c in direction)
@@ -1502,7 +1759,7 @@ def _mkm_forward(
     sky = _sky_statics(scene)
     out = _trace_call(
         sph, tri, trivm, boxes, mats, atlas, qtab, qbox, ltab, lbox,
-        ox, oy, oz, dx, dy, dz, draws,
+        aatab, aat3, ox, oy, oz, dx, dy, dz, draws,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
         n_mats=scene.mat_table.emission_strength.shape[0],
         has_atlas=has_atlas,
@@ -1515,8 +1772,9 @@ def _mkm_forward(
         n_draws=nd, hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
         tile_rows=tile_rows,
         tex_limbs=1 if scene.atlas.packed is not None else 3,
-        with_indices=with_indices, n_quads=len(pairs),
-        n_leftover=n_leftover, **sky, interpret=interpret,
+        with_indices=with_indices, n_quads=n_quads,
+        n_leftover=n_leftover, aa_layout=aa_layout,
+        **sky, interpret=interpret,
     )
     n_base = 16 if sky["sky_idx"] >= 0 else 9
     flat = [o.reshape(-1)[:b] for o in out[:n_base]]

@@ -197,6 +197,72 @@ def mesh_kernel_counts(scene_path: str, bounces: int) -> dict:
     )
     tri_ops = sum(count_ops(jx, tile).values())
 
+    # --- merged-mode bodies (kernels/trace_scene.py): axis-aligned rect
+    # / axis-aligned tri / general fraction-ranked quad ---------------
+    def aa_rect_once(so_k, detg, X1, X2, d1, d2, epsd, hid, bg):
+        s = jnp.float32(0.5)
+        numr = so_k - s
+        pug = (X1 - s * detg + numr * d1) * s
+        pvg = (X2 - s * detg + numr * d2) * s
+        valid = (
+            (detg >= s)
+            & (jnp.minimum(numr, jnp.minimum(pug, pvg)) >= epsd)
+            & (jnp.maximum(pug, pvg) <= hid)
+        )
+        num_c = jnp.where(valid, numr, 3e38)
+        win = jnp.where(pug + pvg <= detg, s, s).astype(jnp.int32)
+        better = num_c < bg
+        return jnp.where(better, num_c, bg), jnp.where(better, win, 0)
+
+    jxa = jax.make_jaxpr(aa_rect_once)(t, t, t, t, t, t, t, t, t)
+    aa_rect_ops = sum(count_ops(jxa, tile).values())
+
+    def aa_tri_once(so_k, detg, X1, X2, d1, d2, epsd, hid, bg):
+        s = jnp.float32(0.5)
+        numr = so_k - s
+        P1 = X1 - s * detg + numr * d1
+        P2 = X2 - s * detg + numr * d2
+        ug = P1 * s + P2 * s
+        vg = P1 * s + P2 * s
+        valid = (
+            (detg >= s)
+            & (jnp.minimum(numr, jnp.minimum(ug, vg)) >= epsd)
+            & (ug + vg <= hid)
+        )
+        num_c = jnp.where(valid, numr, 3e38)
+        better = num_c < bg
+        return jnp.where(better, num_c, bg)
+
+    jxt = jax.make_jaxpr(aa_tri_once)(t, t, t, t, t, t, t, t, t)
+    aa_tri_ops = sum(count_ops(jxt, tile).values())
+
+    def gen_quad_once(rox, roy, roz, rdx, rdy, rdz, best, bden):
+        s = jnp.float32(0.5)
+        aox, aoy, aoz = rox - s, roy - s, roz - s
+        daox = aoy * rdz - aoz * rdy
+        daoy = aoz * rdx - aox * rdz
+        daoz = aox * rdy - aoy * rdx
+        det = -(rdx * s + rdy * s + rdz * s)
+        num = aox * s + aoy * s + aoz * s
+        pu = s * daox + s * daoy + s * daoz
+        pv = -(s * daox + s * daoy + s * daoz)
+        lo = 1e-7 * det
+        hi = (1.0 - 1e-7) * det
+        valid = (
+            (det >= 1e-6) & (num >= lo)
+            & (pu >= lo) & (pv >= lo) & (pu <= hi) & (pv <= hi)
+        )
+        num_c = jnp.where(valid, num, 3e38)
+        den_c = jnp.where(valid, det, 1.0)
+        win = jnp.where(pu + pv <= det, s, s).astype(jnp.int32)
+        better = num_c * bden < best * den_c
+        return (jnp.where(better, num_c, best),
+                jnp.where(better, den_c, bden),
+                jnp.where(better, win, 0))
+
+    jxq = jax.make_jaxpr(gen_quad_once)(t, t, t, t, t, t, t, t)
+    gen_quad_ops = sum(count_ops(jxq, tile).values())
+
     # --- per-chunk slab test -------------------------------------------
     def slab(rox, roy, roz, idx, idy, idz, best):
         s = jnp.float32(0.5)
@@ -238,17 +304,52 @@ def mesh_kernel_counts(scene_path: str, bounces: int) -> dict:
         limbs = 1 if scene.atlas.packed is not None else 3
         tex_macs = limbs * w4p * r_pad + 8 * w4p
 
-    per_ray_bounce_vpu = tri_ops * n_t + slab_ops * n_chunks + shade_ops
-    return {
-        "vpu_ops_per_ray_bounce": per_ray_bounce_vpu,
-        "vpu_tri_loop": tri_ops * n_t,
-        "vpu_cull": slab_ops * n_chunks,
-        "transcendentals_per_ray_bounce": 0,   # folded into shade const
-        "mxu_macs_per_ray_bounce": ext_macs + tex_macs,
-        "note": (
+    # --- combine by the scene's actual primitive mix: merged scenes
+    # (quad_pairs detected) split into aa rects / aa tris / general
+    # quads / general leftovers (kernels/trace_scene.py merged mode);
+    # unmerged scenes run the chunk-culled per-triangle loop -----------
+    _, _, cfg = load_scene(scene_path)
+    pairs = cfg.quad_pairs if cfg.merge_quads else ()
+    if pairs:
+        rect_classes = (
+            cfg.quad_aa_rects if len(cfg.quad_aa_rects) == len(pairs)
+            else tuple(() for _ in pairs)
+        )
+        n_aa_rect = sum(1 for c in rect_classes if c != ())
+        n_gen_quad = len(pairs) - n_aa_rect
+        n_aa_tri = len(cfg.quad_aa_tris)
+        n_gen_left = n_t - 2 * len(pairs) - n_aa_tri
+        prim_ops = (
+            aa_rect_ops * n_aa_rect + aa_tri_ops * n_aa_tri
+            + gen_quad_ops * (n_gen_quad + n_gen_left)
+        )
+        # flat loops: slab culls only above the 2*CULL_CHUNK threshold
+        cull_ops = sum(
+            slab_ops * (-(-n // tsc.CULL_CHUNK))
+            for n in (n_gen_quad, n_gen_left)
+            if n > 2 * tsc.CULL_CHUNK
+        )
+        note = (
+            f"aa_rect={aa_rect_ops}x{n_aa_rect} aa_tri={aa_tri_ops}"
+            f"x{n_aa_tri} gen={gen_quad_ops}x{n_gen_quad + n_gen_left}, "
+            f"shade~{shade_ops}"
+        )
+    else:
+        prim_ops = tri_ops * n_t
+        cull_ops = slab_ops * n_chunks
+        note = (
             f"tri_ops={tri_ops}/tri x {n_t} tris (no-cull upper bound), "
             f"slab={slab_ops} x {n_chunks} chunks, shade~{shade_ops}"
-        ),
+        )
+
+    per_ray_bounce_vpu = prim_ops + cull_ops + shade_ops
+    return {
+        "vpu_ops_per_ray_bounce": per_ray_bounce_vpu,
+        "vpu_tri_loop": prim_ops,
+        "vpu_cull": cull_ops,
+        "transcendentals_per_ray_bounce": 0,   # folded into shade const
+        "mxu_macs_per_ray_bounce": ext_macs + tex_macs,
+        "note": note,
     }
 
 
