@@ -42,6 +42,9 @@ LANE = 128
 SMALL = 64          # <= this: XLA's select-tree take is fastest
 ROW_LIMIT = 65536   # channel-lane layout memory cap: 65536*128*4B = 32MB
 _BWD_CHUNK = 32768  # rows per one-hot matmul chunk in the gather VJP
+_SORT_BWD_ROWS = 8192  # above this the VJP switches from one-hot
+                       # matmuls (O(B*N)) to sort + prefix-sum + two
+                       # searchsorteds (O(B + N)) — see _take_rows_bwd
 
 
 # ---------------------------------------------------------------------------
@@ -85,6 +88,28 @@ def _take_rows_fwd(n, tbl, idx):
 
 def _take_rows_bwd(n, idx, g):
     b = idx.shape[0]
+    if n > _SORT_BWD_ROWS:
+        # one-hot matmul work is O(B * N * 128) MACs — fine for atlas-
+        # sized tables, catastrophic for equirect-sky-sized ones (the
+        # 4096x2048 sky = 262144 interleaved rows: ~2.5e16 MACs per
+        # pullback; in round 4 it took the TPU worker down on the
+        # mesh+sky fwd+bwd bench). Sort-based segment sums are
+        # O((B + N) * 128): sort cotangent rows by destination, prefix-
+        # sum, and difference at each row's [first, last) occurrence
+        # range via two searchsorteds. f32 prefix-sum cancellation is
+        # bounded by the cotangent scale (grad tests cover the small
+        # sizes; production pullbacks tolerate ~1e-6 relative).
+        order = jnp.argsort(idx)
+        si = jnp.take(idx, order)
+        sg = jnp.take(g, order, axis=0)
+        cs = jnp.concatenate(
+            [jnp.zeros((1, LANE), jnp.float32), jnp.cumsum(sg, axis=0)]
+        )
+        targets = jnp.arange(n, dtype=si.dtype)
+        lo = jnp.searchsorted(si, targets, side="left")
+        hi = jnp.searchsorted(si, targets, side="right")
+        grad = jnp.take(cs, hi, axis=0) - jnp.take(cs, lo, axis=0)
+        return grad, None
     nchunks = -(-b // _BWD_CHUNK)
     pad = nchunks * _BWD_CHUNK - b
     # out-of-range index rows one-hot to zero, so padding drops out

@@ -240,15 +240,23 @@ class MatTable:
 @struct.dataclass
 class SkyTexture:
     """Equirect sky texture for sphere_uvmapping (texture.h:92-112) applied
-    to the last sphere ("derniere sphere = ciel", main.c:331)."""
+    to the last sphere ("derniere sphere = ciel", main.c:331).
+
+    ``packed``: optional u8-packed uint32 row-gather table
+    (io.obj.pack_rgba_u8) — production sky assets are 4096x2048 PNGs,
+    far past the fast-gather regime for the f32 layout; the packed
+    fetch reconstructs the same f32 values bit-exactly at a quarter of
+    the bytes and is used whenever sky TEXEL gradients are off
+    (RenderConfig.sky_texture_grads)."""
 
     rgb: Vec3  # (H*W,) per channel
+    packed: Optional[Array] = None
     width: int = struct.field(pytree_node=False, default=1)
     height: int = struct.field(pytree_node=False, default=1)
 
     @staticmethod
     def empty() -> "SkyTexture":
-        return SkyTexture(Vec3.zeros((0,)), 1, 1)
+        return SkyTexture(Vec3.zeros((0,)), None, 1, 1)
 
 
 @struct.dataclass
@@ -320,6 +328,15 @@ class RenderConfig:
     # semantics, piecewise-constant in geometry) vs bilinear (continuous
     # UV->color, giving nonzero vertex/camera gradients)
     bilinear_textures: bool = False
+    # equirect-sky TEXEL gradients: the pullback of the per-bounce sky
+    # gather is a (sky-rows)-sized segment sum per sample — ~10-50x the
+    # whole backward at the reference's 4096x2048 sky assets — for a
+    # leaf almost no inverse problem optimizes (the reference's sky is
+    # a fixed file, main.c:374). Off: sky texels are stop_gradient'd
+    # (every OTHER gradient in a sky scene — geometry, materials,
+    # camera, emission — is unaffected). On: full texel gradients, used
+    # by the sky-training tests.
+    sky_texture_grads: bool = False
     # quad merging (geometry/quads.py): coplanar triangle pairs found at
     # scene load are intersected as single parallelograms inside the
     # mesh megakernel (~2x fewer primitive tests on block-world meshes).

@@ -219,7 +219,20 @@ def closest_hit(
         if scene.sky_sphere_index >= 0 and scene.sky.rgb.x.shape[0] > 0:
             # textured sky emission (sphere_uvmapping path, texture.h:92-112;
             # commented out in main.c:64-71 — enabled via sky_sphere_index)
-            sky_rgb = sky_emission(scene.sky, point, centers, radii)
+            sky_rgb = sky_emission(
+                scene.sky, point, centers, radii,
+                use_packed=not cfg.sky_texture_grads,
+            )
+            if not cfg.sky_texture_grads:
+                # sky TEXEL cotangents cost a 262k-row segment-sum per
+                # bounce per sample at production sky sizes (4096x2048)
+                # — opt-in via cfg; every other sky-scene gradient
+                # (geometry, materials, camera) is unaffected
+                sky_rgb = Vec3(
+                    jax.lax.stop_gradient(sky_rgb.x),
+                    jax.lax.stop_gradient(sky_rgb.y),
+                    jax.lax.stop_gradient(sky_rgb.z),
+                )
             is_sky = s_idx == scene.sky_sphere_index
             m_s = m_s.replace(emission=Vec3.where(is_sky, sky_rgb, m_s.emission))
         sphere_sel = did_hit & ~tri_wins

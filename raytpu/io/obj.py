@@ -371,10 +371,16 @@ def load_sky(path: str) -> SkyTexture:
     rgb = load_rgb(path)
     h, w = rgb.shape[:2]
     flat = rgb.reshape(-1, 3)
+    # packed u8 twin for the fast sky fetch (SkyTexture.packed): PNG/PPM
+    # sources are u8-exact, so this is bit-identical to the f32 gather
+    packed = pack_rgba_u8(
+        flat[:, 0], flat[:, 1], flat[:, 2], np.ones(flat.shape[0], np.float32)
+    )
     return SkyTexture(
         rgb=Vec3(
             jnp.asarray(flat[:, 0]), jnp.asarray(flat[:, 1]), jnp.asarray(flat[:, 2])
         ),
+        packed=jnp.asarray(packed) if packed is not None else None,
         width=w,
         height=h,
     )

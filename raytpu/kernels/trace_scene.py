@@ -1664,9 +1664,21 @@ def _mkm_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
     return out, (scene, origin, direction, bounce_draws, idx)
 
 
+# deepest bounce count the backward megakernel fits in scoped VMEM: AD
+# keeps per-bounce replay residuals resident, ~1MB/bounce at BWD_ROWS on
+# top of a fixed base; measured on v5e at the largest shipped mesh
+# (mcworld): 16 bounces compiles, 18 overflows the 16MB scoped limit by
+# ~2MB (tools/deep_bounce_smoke.py is the gate that caught this —
+# ADVICE r3 #3). Deeper grads take the always-correct scan replay.
+BWD_KERNEL_MAX_BOUNCES = 16
+
+
 def _mkm_bwd(cfg, interpret, res, g):
     scene, origin, direction, bounce_draws, idx = res
-    if _os.environ.get("RAYTPU_MESH_BWD", "kernel") == "kernel":
+    if (
+        _os.environ.get("RAYTPU_MESH_BWD", "kernel") == "kernel"
+        and cfg.max_bounces <= BWD_KERNEL_MAX_BOUNCES
+    ):
         # in-kernel VJP: the whole index replay (extraction + recompute +
         # shade + reverse sweep) fused in one Pallas kernel — see
         # kernels/trace_scene_bwd. The scan replay below remains the

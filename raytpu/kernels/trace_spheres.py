@@ -725,9 +725,23 @@ def compose_sky(scene: Scene, cfg: RenderConfig, out6):
     x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
     idx = y * w + x
-    r, g, b = gather_channels(
-        [scene.sky.rgb.x, scene.sky.rgb.y, scene.sky.rgb.z], idx
-    )
+    if not cfg.sky_texture_grads and scene.sky.packed is not None:
+        # fast path: u8-packed row-gather (bit-identical values, a
+        # quarter of the bytes — SkyTexture.packed); texel cotangents
+        # are opt-in, so gradients stop here either way
+        from raytpu.core.gather import take_packed_rgba
+
+        r, g, b, _ = take_packed_rgba(
+            scene.sky.rgb.x, scene.sky.rgb.y, scene.sky.rgb.z,
+            scene.sky.rgb.x, scene.sky.packed, idx,
+        )
+    else:
+        r, g, b = gather_channels(
+            [scene.sky.rgb.x, scene.sky.rgb.y, scene.sky.rgb.z], idx
+        )
+    if not cfg.sky_texture_grads:
+        # matches the scan path's stop_gradient in integrator/hit.py
+        r, g, b = (jax.lax.stop_gradient(c) for c in (r, g, b))
     sky_rgb = Vec3(r, g, b)
     early = early_p > 0.0
     boosted = hsl_boost(sky_rgb, cfg.hsl_l_factor, cfg.hsl_s_factor)

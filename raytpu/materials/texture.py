@@ -183,11 +183,17 @@ def checker_value(c1: Vec3, c2: Vec3, scale, p: Vec3) -> Vec3:
 
 
 def sky_emission(
-    sky: SkyTexture, hit_point: Vec3, center: Vec3, radius: Array
+    sky: SkyTexture, hit_point: Vec3, center: Vec3, radius: Array,
+    use_packed: bool = False,
 ) -> Vec3:
     """Equirect sphere UV fetch (sphere_uvmapping, texture.h:92-112):
     d = (p - c)/r; theta = acos(-d.y); phi = atan2(-d.z, d.x) + pi;
-    u = phi/2pi, v = theta/pi."""
+    u = phi/2pi, v = theta/pi.
+
+    use_packed: fetch through the u8-packed uint32 table when the sky
+    carries one — bit-identical values (load_sky builds it only when
+    every texel is exactly n * f32(1/255)) at a quarter of the gather
+    bytes; callers enable it when sky TEXEL gradients are off."""
     d = (hit_point - center) / radius
     theta = jnp.arccos(jnp.clip(-d.y, -1.0, 1.0))
     phi = jnp.arctan2(-d.z, d.x) + jnp.pi
@@ -196,4 +202,12 @@ def sky_emission(
     w, h = sky.width, sky.height
     x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
-    return sky.rgb.take(y * w + x)
+    idx = y * w + x
+    if use_packed and sky.packed is not None:
+        from raytpu.core.gather import take_packed_rgba
+
+        r, g, b, _ = take_packed_rgba(
+            sky.rgb.x, sky.rgb.y, sky.rgb.z, sky.rgb.x, sky.packed, idx
+        )
+        return Vec3(r, g, b)
+    return sky.rgb.take(idx)

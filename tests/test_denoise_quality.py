@@ -71,15 +71,19 @@ MARGIN_DB = 0.5
 
 
 @pytest.mark.parametrize("which", ["cornell", "grass_block"])
-def test_learned_beats_bilateral(which, pair, mesh_pair):
+def test_learned_beats_bilateral(which, request):
     """The shipped KPCN weights must beat the bilateral by >= +0.5 dB
     PSNR (that is the reason the model exists — VERDICT r1 missing #4,
-    r2 weak #4)."""
+    r2 weak #4). Fixtures resolve lazily (getfixturevalue) so each
+    parametrization builds only the spp_hi=160 render pair it scores
+    (ADVICE r3 low #5)."""
     from raytpu.denoise.learned import WEIGHTS_PATH, denoise_learned
 
     if not os.path.exists(WEIGHTS_PATH):
         pytest.skip("no trained weights checked in yet")
-    lo, hi = pair if which == "cornell" else mesh_pair
+    lo, hi = request.getfixturevalue(
+        "pair" if which == "cornell" else "mesh_pair"
+    )
     scores = score_denoisers(lo, hi, {
         "bilateral": lambda c, a, n: bilateral(c, a, n),
         "learned": lambda c, a, n: denoise_learned(c, a, n),

@@ -110,6 +110,7 @@ def test_sky_kernel_grad_matches_scan():
     cfg = RenderConfig(
         width=10, height=6, spp=2, max_bounces=3,
         use_megakernel=True, pallas_interpret=True,
+        sky_texture_grads=True,
     )
     pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
     key = jax.random.PRNGKey(33)
@@ -188,7 +189,7 @@ def test_mesh_sky_kernel_grad_matches_scan():
 
     scene, cam, cfg = load_scene("scenes/mesh_sky.toml")
     cfg = cfg.replace(width=10, height=6, spp=1, max_bounces=3,
-                      merge_quads=False)
+                      merge_quads=False, sky_texture_grads=True)
     pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
     pix_keys = rrng.pixel_keys(jax.random.PRNGKey(35), pids)
     ray_keys = rrng.sample_keys(pix_keys, jnp.int32(0))
@@ -218,3 +219,77 @@ def test_mesh_sky_kernel_grad_matches_scan():
         )
         nonzero += bool(lk.size and np.abs(np.asarray(ls)).max() > 0)
     assert nonzero >= 4, f"only {nonzero} leaves had nonzero grads"
+
+
+def test_packed_sky_fetch_bit_identical():
+    """SkyTexture.packed (u8 row-gather fast path, built by load_sky for
+    u8-exact sources): sky_emission through it must match the f32 gather
+    bit-for-bit — that is the property letting the production path use
+    it whenever texel grads are off."""
+    import numpy as np
+
+    from raytpu.core.types import SkyTexture
+    from raytpu.io.obj import pack_rgba_u8
+    from raytpu.materials.texture import sky_emission
+
+    rng = np.random.default_rng(5)
+    h, w = 8, 16
+    codes = rng.integers(0, 256, (h * w, 3))
+    flat = (codes.astype(np.float32) * np.float32(1.0 / 255.0))
+    packed = pack_rgba_u8(
+        flat[:, 0], flat[:, 1], flat[:, 2], np.ones(h * w, np.float32)
+    )
+    assert packed is not None
+    sky = SkyTexture(
+        rgb=Vec3(jnp.asarray(flat[:, 0]), jnp.asarray(flat[:, 1]),
+                 jnp.asarray(flat[:, 2])),
+        packed=jnp.asarray(packed), width=w, height=h,
+    )
+    n = 300
+    k = jax.random.PRNGKey(0)
+    p = Vec3(*(jax.random.normal(jax.random.fold_in(k, i), (n,))
+               for i in range(3)))
+    c = Vec3.zeros((n,))
+    r = jnp.ones((n,))
+    pn = p * (1.0 / (p.x**2 + p.y**2 + p.z**2) ** 0.5)
+    a = sky_emission(sky, pn, c, r, use_packed=False)
+    b = sky_emission(sky, pn, c, r, use_packed=True)
+    for ca, cb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
+def test_sky_texture_grads_flag():
+    """sky_texture_grads=False (default) stops gradients at the sky
+    TEXELS only: sky.rgb grads are exactly zero, while geometry /
+    material / emission grads in the same scene stay nonzero. True
+    restores texel grads (the sky-training path)."""
+    import numpy as np
+
+    from raytpu.train import combine_scene, partition_scene
+
+    scene = _sky_scene()
+    from raytpu.camera import make_camera
+
+    cam = make_camera(
+        origin=(0, 0, 2), target=(0, 0, -3), up=(0, 1, 0),
+        vfov_deg=60.0, aspect_ratio=1.5,
+    )
+    pids = jnp.arange(48, dtype=jnp.int32)
+    key = jax.random.PRNGKey(4)
+    params, static = partition_scene(scene)
+
+    def loss(params, c):
+        sums = render(combine_scene(params, static), cam, c, pids, key)
+        return jnp.sum(sums.radiance.to_array())
+
+    cfg = RenderConfig(width=8, height=6, spp=2, max_bounces=3)
+    g_off = jax.grad(loss)(params, cfg)
+    g_on = jax.grad(loss)(params, cfg.replace(sky_texture_grads=True))
+    assert float(jnp.abs(g_off.sky.rgb.x).max()) == 0.0
+    assert float(jnp.abs(g_on.sky.rgb.x).max()) > 0.0
+    # non-texel grads identical across the flag
+    np.testing.assert_allclose(
+        np.asarray(g_off.spheres.mat.diffuse.x),
+        np.asarray(g_on.spheres.mat.diffuse.x), rtol=1e-6,
+    )
+    assert float(jnp.abs(g_off.spheres.mat.diffuse.x).max()) > 0.0

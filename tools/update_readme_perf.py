@@ -19,12 +19,22 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# (metric tag, label, path note, roofline.json kernel key or None)
 LABELS = [
-    ("cfg1_cornell_400x300", "1. Cornell spheres 400x300x100spp/5b", "megakernel"),
-    ("cfg2_dof_ao_800x600", "2. DoF + AO 800x600x100spp/5b", "megakernel (AO probes in-kernel)"),
-    ("cfg3_pyramide_1000x750", "3. pyramide mesh 1000x750/5b", "mesh megakernel"),
-    ("cfg4_grassblock_1000x750", "4. grass_block textures 1000x750/5b", "mesh megakernel (in-kernel texel fetch)"),
-    ("cfg5_mcworld_1200x900", "5. mcworld 606 tris + refraction 1200x900/6b", "mesh megakernel"),
+    ("cfg1_cornell_400x300", "1. Cornell spheres 400x300x100spp/5b",
+     "megakernel", None),
+    ("cfg2_dof_ao_800x600", "2. DoF + AO 800x600x100spp/5b",
+     "megakernel (AO probes in-kernel)", None),
+    ("cfg3_pyramide_1000x750", "3. pyramide mesh 1000x750/5b",
+     "mesh megakernel", "pyramide"),
+    ("cfg4_grassblock_1000x750", "4. grass_block textures 1000x750/5b",
+     "mesh megakernel (in-kernel texel fetch)", None),
+    ("cfg5_mcworld_1200x900", "5. mcworld 606 tris + refraction 1200x900/6b",
+     "mesh megakernel (axis-aligned fast loops)", "mcworld"),
+    ("sky_1000x750", "sky showcase (equirect texture) 1000x750/4b",
+     "megakernel (sky slot + row-gather)", None),
+    ("mesh_sky_1000x750", "mesh + equirect sky 1000x750/5b",
+     "mesh megakernel (sky slot)", None),
 ]
 
 
@@ -43,20 +53,49 @@ def main() -> None:
             if "metric" in rec and "value" in rec:
                 vals[rec["metric"]] = float(rec["value"])
 
-    rows = ["| Config | Grays/s | Path |", "|---|---|---|"]
-    for tag, label, pathname in LABELS:
+    # roofline fractions (docs/roofline.json, produced by
+    # tools/roofline.py on the rig): achieved VPU ops/s over the
+    # measured VPU peak — the honest "how close to the ceiling" column
+    roofline: dict[str, float] = {}
+    rl_path = os.path.join(ROOT, "docs", "roofline.json")
+    if os.path.exists(rl_path):
+        with open(rl_path) as f:
+            rl = json.load(f)
+        for key, entry in rl.get("kernels", {}).items():
+            frac = entry.get("vpu_roofline_frac")
+            if frac:
+                roofline[key] = frac
+
+    rows = [
+        "| Config | Grays/s | fwd+bwd | % VPU roofline | Path |",
+        "|---|---|---|---|---|",
+    ]
+    for tag, label, pathname, rl_key in LABELS:
         v = vals.get(f"fwd_rays_per_sec_chip_{tag}")
+        fbv = vals.get(f"fwd_bwd_rays_per_sec_chip_{tag}")
         cell = f"{v / 1e9:.2f}" if v is not None else "—"
-        rows.append(f"| {label} | {cell} | {pathname} |")
+        fb_cell = f"{fbv / 1e9:.2f}" if fbv is not None else "—"
+        rl_cell = (
+            f"{100 * roofline[rl_key]:.0f}%"
+            if rl_key in roofline else "—"
+        )
+        rows.append(
+            f"| {label} | {cell} | {fb_cell} | {rl_cell} | {pathname} |"
+        )
 
     head = vals.get("fwd_rays_per_sec_chip_1200x900x1000spp_6b")
     fb = vals.get("fwd_bwd_rays_per_sec_chip_1200x900_6b")
     lines = []
     if head is not None:
+        frac = roofline.get("flagship_spheres")
+        suffix = (
+            f" — {100 * frac:.0f}% of the measured VPU roofline "
+            f"(docs/ROOFLINE.md)" if frac else ""
+        )
         lines.append(
             f"Flagship forward (1200x900x1000spp/6b Cornell): "
             f"**{head / 1e9:.2f} G rays/s** through the full-bounce-loop "
-            f"Pallas megakernel."
+            f"Pallas megakernel{suffix}."
         )
     if fb is not None:
         lines.append(
