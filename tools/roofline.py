@@ -401,10 +401,20 @@ def measure_vpu_peak() -> float:
                                            jnp.float32),
         )(x)
 
+    # chain REPS kernel invocations inside ONE jit: each dispatch over
+    # the tunnel costs ~28ms of fixed overhead, which at a single
+    # ~2G-op call would understate the peak ~14x (it did, r4: 0.08
+    # "Tops/s" while real kernels measured 0.9+)
+    REPS = 64
+
+    @jax.jit
+    def run_n(x):
+        return jax.lax.fori_loop(0, REPS, lambda _, v: run(v), x)
+
     x = jnp.ones((TILES * ROWS, LANES), jnp.float32)
-    _sync(run(x))
-    dt = _time_best(lambda: _sync(run(x)))
-    return 2.0 * K * TILES * ROWS * LANES / dt
+    _sync(run_n(x))
+    dt = _time_best(lambda: _sync(run_n(x)))
+    return 2.0 * K * TILES * ROWS * LANES * REPS / dt
 
 
 def measure_mxu_peak() -> float:
@@ -415,12 +425,23 @@ def measure_mxu_peak() -> float:
     from bench import _sync, _time_best
 
     n = 4096
+    REPS = 32   # chained inside one jit — same dispatch-overhead
+                # amortization as measure_vpu_peak
     a = jnp.ones((n, n), jnp.bfloat16)
-    b = jnp.ones((n, n), jnp.bfloat16)
-    f = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
+    b = jnp.eye(n, dtype=jnp.bfloat16)   # data-dependent chain, stable values
+
+    @jax.jit
+    def f(a, b):
+        def step(_, c):
+            return jnp.dot(c, b, preferred_element_type=jnp.float32).astype(
+                jnp.bfloat16
+            )
+
+        return jax.lax.fori_loop(0, REPS, step, a)
+
     _sync(f(a, b))
     dt = _time_best(lambda: _sync(f(a, b)))
-    return 2.0 * n * n * n / dt
+    return 2.0 * n * n * n * REPS / dt
 
 
 def main() -> None:
