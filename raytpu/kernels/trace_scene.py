@@ -1590,14 +1590,64 @@ def trace_mesh_megakernel(
 
     Equirect sky scenes (the reference's canonical mesh render,
     main.c:361 + 374): the kernel records one sky-hit slot per ray and
-    the radiance is composed HERE with one XLA row-gather over the
-    full-resolution sky texture (kernels/trace_spheres does the same);
-    gradients for such scenes run the index-replay scan backward, whose
+    the radiance is composed HERE with one row-gather over the
+    full-resolution sky texture (kernels/trace_spheres does the same).
+    Gradients run the backward megakernel with the sky-slot replay
+    (trace_scene_bwd) up to its depth ceiling; deeper configs (or
+    RAYTPU_MESH_BWD=replay) take the index-replay scan backward, whose
     closest_hit handles the sky texel natively.
     """
     if _sky_statics(scene)["sky_idx"] < 0:
         return _mkm_vjp(scene, cfg, origin, direction, bounce_draws, interpret)
+    use_bwd_kernel = (
+        _os.environ.get("RAYTPU_MESH_BWD", "kernel") == "kernel"
+        and cfg.max_bounces <= BWD_KERNEL_MAX_BOUNCES
+    )
+    if use_bwd_kernel:
+        from raytpu.kernels.trace_spheres import compose_sky
+
+        out6 = _mkm_sky_slot(
+            scene, cfg, origin, direction, bounce_draws, interpret
+        )
+        return compose_sky(scene, cfg, out6)
     return _mkm_sky(scene, cfg, origin, direction, bounce_draws, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+def _mkm_sky_slot(scene, cfg, origin, direction, bounce_draws, interpret):
+    """Slot-level VJP boundary for sky scenes (mirrors trace_spheres'
+    _mk_vjp): the composition lives OUTSIDE, so its cotangents arrive
+    here as (d_inc, d_alb, d_nrm, d_skl, d_sdir, d_early) and the
+    backward megakernel replays the trace with the sky-slot planes —
+    d_sdir/d_early are identically zero through the floor-quantized UV
+    chain and are dropped."""
+    out6, _ = _mkm_forward(
+        scene, cfg, origin, direction, bounce_draws, interpret,
+        with_indices=False,
+    )
+    return out6
+
+
+def _mkm_sky_slot_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
+    out6, idx = _mkm_forward(
+        scene, cfg, origin, direction, bounce_draws, interpret,
+        with_indices=True,
+    )
+    return out6, (scene, origin, direction, bounce_draws, idx)
+
+
+def _mkm_sky_slot_bwd(cfg, interpret, res, g):
+    scene, origin, direction, bounce_draws, idx = res
+    g_inc, g_alb, g_nrm, g_skl, _g_sdir, _g_early = g
+    from raytpu.kernels.trace_scene_bwd import mesh_backward
+
+    return mesh_backward(
+        scene, cfg, origin, direction, bounce_draws, idx,
+        (g_inc, g_alb, g_nrm, g_skl), interpret,
+    )
+
+
+_mkm_sky_slot.defvjp(_mkm_sky_slot_fwd, _mkm_sky_slot_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))

@@ -201,13 +201,21 @@ def _replay_bounce(
     *,
     n_spheres, n_mats, has_atlas, atlas_w, atlas_h,
     sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
-    bright_boost, bright_threshold, hsl_l, hsl_s,
+    bright_boost, bright_threshold, hsl_l, hsl_s, sky_idx=-1,
 ):
     """One differentiable replay bounce: recorded winner -> extraction ->
     distance recompute -> texture/material resolve -> shade_bounce.
     Every formula is op-for-op the scan replay's
     (integrator.hit.closest_hit(best_idx=...) + integrator.path.bounce),
-    which is the gradient-parity contract."""
+    which is the gradient-parity contract.
+
+    Equirect sky (sky_idx >= 0): the carry grows 4 planes (sky-scale 3 +
+    slot-taken flag) and the bounce replays the forward kernel's slot
+    bookkeeping — the scale skl = estr * pre-update-throughput is the
+    only sky quantity with a live cotangent (the unit-direction and
+    early-flag outputs end in floor/compares outside), so the replay
+    never recomputes the hit direction at all.
+    """
     (rox, roy, roz, rdx, rdy, rdz) = carry[:6]
     active_f = carry[18]
     active = active_f > 0.0
@@ -400,14 +408,39 @@ def _replay_bounce(
     ior = tsel(tior, sior)
     nX, nY, nZ = tsel(tnX, snX), tsel(tnY, snY), tsel(tnZ, snZ)
 
-    return shade_bounce(
-        i, carry, did_hit, px, py, pz, nX, nY, nZ,
+    if sky_idx < 0:
+        return shade_bounce(
+            i, carry, did_hit, px, py, pz, nX, nY, nZ,
+            dfx, dfy, dfz, emx, emy, emz, estr, refl, alpha, ior,
+            u_d, v_d, roulette,
+            alpha_lo=alpha_lo, alpha_hi=alpha_hi,
+            bright_boost=bright_boost, bright_threshold=bright_threshold,
+            hsl_l=hsl_l, hsl_s=hsl_s,
+        )
+
+    # ---- sky slot replay (forward kernel's bookkeeping, minus the
+    # direction recompute — zero cotangent) ------------------------------
+    sklx, skly, sklz, slot_f = carry[22:26]
+    sky_win = did_hit & (bidx == sky_idx)
+    emx = jnp.where(sky_win, f0, emx)
+    emy = jnp.where(sky_win, f0, emy)
+    emz = jnp.where(sky_win, f0, emz)
+    rcx, rcy, rcz = carry[6], carry[7], carry[8]   # pre-update throughput
+    new_carry, emissive_ret, accum = shade_bounce(
+        i, carry[:22], did_hit, px, py, pz, nX, nY, nZ,
         dfx, dfy, dfz, emx, emy, emz, estr, refl, alpha, ior,
         u_d, v_d, roulette,
         alpha_lo=alpha_lo, alpha_hi=alpha_hi,
         bright_boost=bright_boost, bright_threshold=bright_threshold,
-        hsl_l=hsl_l, hsl_s=hsl_s,
+        hsl_l=hsl_l, hsl_s=hsl_s, with_masks=True,
     )
+    take_e = emissive_ret & sky_win & (slot_f == 0.0)
+    take_a = accum & sky_win & (slot_f == 0.0)
+    sklx = jnp.where(take_e, f1, jnp.where(take_a, estr * rcx, sklx))
+    skly = jnp.where(take_e, f1, jnp.where(take_a, estr * rcy, skly))
+    sklz = jnp.where(take_e, f1, jnp.where(take_a, estr * rcz, sklz))
+    slot_f = jnp.where(take_e | take_a, f1, slot_f)
+    return new_carry + (sklx, skly, sklz, slot_f)
 
 
 def _replay_all(
@@ -452,6 +485,15 @@ def _replay_all(
         f0, f0, f0, f0, f0, f0,
         f1, f0, i0, f1,
     )
+    sky_on = statics.get("sky_idx", -1) >= 0
+    if sky_on:
+        carry0 = carry0 + (f0, f0, f0, f0)   # skl3, slot flag
+
+    def outs(carry):
+        # (incoming, albedo AOV, normal AOV) x 3 (+ sky scale x 3)
+        return (
+            carry[9:18] + carry[22:25] if sky_on else carry[9:18]
+        )
     # jax.checkpoint (remat2) has no Mosaic lowering rule; on the
     # unrolled hardware path the big transients are kept out of the
     # residual set by the custom VJPs (_extract_channels/_fetch_texels)
@@ -470,7 +512,7 @@ def _replay_all(
                 draws[n_draws * i + 0], draws[n_draws * i + 1],
                 draws[n_draws * i + 2],
             )
-        return carry[9:18]  # (incoming, albedo AOV, normal AOV) x 3
+        return outs(carry)
 
     # xs: per-bounce recorded indices + the 3 draw planes, stacked
     idx_arr = jnp.stack(idxs)                                 # (BN, R, L)
@@ -488,7 +530,7 @@ def _replay_all(
         )
 
     final, _ = jax.lax.scan(body, carry0, (steps, idx_arr, u_arr, v_arr, r_arr))
-    return final[9:18]     # (incoming, albedo AOV, normal AOV) x 3
+    return outs(final)
 
 
 def _bwd_kernel(
@@ -499,14 +541,15 @@ def _bwd_kernel(
     ox, oy, oz, dx, dy, dz,            # VMEM (BWD_ROWS, LANE) ray tiles
     draws_ref,                          # VMEM (BN*3, BWD_ROWS, LANE)
     idx_ref,                            # VMEM (BN, BWD_ROWS, LANE) i32
-    g0, g1, g2, g3, g4, g5, g6, g7, g8,  # output cotangent tiles
-    d_sph,        # SMEM (14, S_pad) accumulator
-    d_mat,        # SMEM (9, M_pad) accumulator
-    d_tri,        # VMEM (32, T_pad) accumulator
-    d_atlas,      # VMEM (w4_pad, r_pad) accumulator
-    d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,
-    *, n_spheres, n_mats, bounces, n_draws, unroll, **statics,
+    *rest,        # g cotangent tiles (9 base, +3 sky-scale when the
+                  # scene has a sky), then the outputs: d_sph SMEM
+                  # accumulator, d_mat, d_tri, d_atlas, 6 ray cotangents
+    n_spheres, n_mats, bounces, n_draws, unroll, **statics,
 ):
+    n_g = 12 if statics.get("sky_idx", -1) >= 0 else 9
+    g_refs = rest[:n_g]
+    (d_sph, d_mat, d_tri, d_atlas,
+     d_ox, d_oy, d_oz, d_dx, d_dy, d_dz) = rest[n_g:]
     sv = tuple(
         tuple(sph_ref[k, s] for s in range(n_spheres)) for k in range(14)
     )
@@ -527,9 +570,7 @@ def _bwd_kernel(
         f, sv, mv, tri_ref[:], atlas_ref[:],
         ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
     )
-    g = (
-        g0[:], g1[:], g2[:], g3[:], g4[:], g5[:], g6[:], g7[:], g8[:],
-    )
+    g = tuple(r[:] for r in g_refs)
     (dsv, dmv, dtri, datlas,
      gox, goy, goz, gdx, gdy, gdz) = vjp_fn(g)
 
@@ -564,14 +605,14 @@ def _bwd_kernel(
         "n_spheres", "n_mats", "has_atlas", "atlas_w", "atlas_h",
         "bounces", "sphere_eps", "det_eps", "tri_eps", "alpha_lo",
         "alpha_hi", "bright_boost", "bright_threshold", "n_draws",
-        "hsl_l", "hsl_s", "interpret",
+        "hsl_l", "hsl_s", "sky_idx", "interpret",
     ),
 )
 def _bwd_call(
     sph, mats, tri32, atlas_a, ox, oy, oz, dx, dy, dz, draws, idx, g9,
     *, n_spheres, n_mats, has_atlas, atlas_w, atlas_h, bounces,
     sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi, bright_boost,
-    bright_threshold, n_draws, hsl_l, hsl_s, interpret,
+    bright_threshold, n_draws, hsl_l, hsl_s, sky_idx, interpret,
 ):
     # Mosaic cannot lower scan-under-vjp (extensive residual outputs);
     # XLA backends (interpret mode) cannot afford the unrolled vjp jaxpr.
@@ -606,7 +647,7 @@ def _bwd_call(
         sphere_eps=sphere_eps, det_eps=det_eps, tri_eps=tri_eps,
         alpha_lo=alpha_lo, alpha_hi=alpha_hi, bright_boost=bright_boost,
         bright_threshold=bright_threshold, n_draws=n_draws,
-        hsl_l=hsl_l, hsl_s=hsl_s, unroll=unroll,
+        hsl_l=hsl_l, hsl_s=hsl_s, sky_idx=sky_idx, unroll=unroll,
     )
     out = pl.pallas_call(
         kernel,
@@ -619,7 +660,7 @@ def _bwd_call(
         ]
         + [ray_spec] * 6
         + [draws_spec, idx_spec]
-        + [ray_spec] * 9,
+        + [ray_spec] * len(g9),
         out_specs=[
             smem_whole(sph), smem_whole(mats), whole(tri32), whole(atlas_a),
         ]
@@ -659,7 +700,12 @@ def mesh_backward(
 ):
     """Host wrapper: pack, run the backward kernel, and pull the table
     cotangents back through the packing onto the scene pytree. Returns
-    the custom-VJP tuple (d_scene, d_origin, d_direction, d_draws)."""
+    the custom-VJP tuple (d_scene, d_origin, d_direction, d_draws).
+
+    ``g`` is (d_inc, d_alb, d_nrm) Vec3s, plus the sky-scale cotangent
+    Vec3 for equirect-sky scenes (the slot-level custom VJP in
+    trace_scene drops the unit-direction/early-flag cotangents, which
+    are identically zero through the floor-quantized composition)."""
     b = origin.x.shape[0]
     rows = max(-(-b // LANE), BWD_ROWS)
     rows = -(-rows // BWD_ROWS) * BWD_ROWS
@@ -694,6 +740,11 @@ def mesh_backward(
         bright_boost=cfg.bright_boost,
         bright_threshold=cfg.bright_threshold,
         n_draws=nd, hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
+        sky_idx=(
+            scene.sky_sphere_index
+            if scene.sky_sphere_index >= 0 and scene.sky.rgb.x.shape[0] > 0
+            and len(g) > 3 else -1
+        ),
         interpret=interpret,
     )
     d_sph, d_mat, d_tri, d_atlas = out[0], out[1], out[2], out[3]
