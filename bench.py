@@ -294,7 +294,10 @@ def main() -> None:
     import jax
 
     from raytpu.config import load_scene
+    from raytpu.observe import enable_compilation_cache
     from raytpu.sharding import init_distributed
+
+    enable_compilation_cache()
 
     # multi-host scaling mode: under a distributed launch (env-configured
     # coordinator), --mesh spans every process's chips and the printed

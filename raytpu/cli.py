@@ -113,6 +113,23 @@ def cmd_render(argv) -> int:
         cfg = cfg.replace(use_pallas=True)
     if args.bilinear:
         cfg = cfg.replace(bilinear_textures=True)
+
+    # production fast path: on TPU backends the megakernels serve
+    # supported scenes (render() still falls back per scene with a
+    # logged reason); when a kernel DOES serve the frame, stream much
+    # bigger pixel tiles — the kernel grid tiles internally and each
+    # host dispatch costs ~28ms through the tunnel, while the small
+    # default tile exists for the scan path's (rays x prims) matrices
+    if jax.default_backend() != "cpu":
+        cfg = cfg.replace(use_megakernel=True)
+        from raytpu.kernels import trace_scene, trace_spheres
+
+        if trace_spheres.supported(scene, cfg) or trace_scene.supported(
+            scene, cfg
+        ):
+            cfg = cfg.replace(
+                pixel_tile=min(cfg.n_pixels, 1200 * 1024)
+            )
     key = jax.random.PRNGKey(args.seed)
 
     if args.out is None:
@@ -272,6 +289,9 @@ def main(argv=None) -> int:
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
+    from raytpu.observe import enable_compilation_cache
+
+    enable_compilation_cache()
     cmd = argv[0]
     if cmd not in COMMANDS:
         print(f"unknown command {cmd!r}; choose from {sorted(COMMANDS)}")

@@ -80,3 +80,14 @@ def test_alpha_cutout_matches_oracle():
     )
     cfg = RenderConfig(width=12, height=8, spp=3, max_bounces=4)
     _compare(scene, cam, cfg, jax.random.PRNGKey(23))
+
+
+@pytest.mark.slow
+def test_mesh_sky_matches_oracle():
+    """The reference's canonical mesh+sky combination (main.c:361 + 374)
+    vs the f64 oracle: textured mesh, mirror sphere AND the equirect
+    sky-texel emission in one render."""
+    scene, cam, _ = load_scene_file(os.path.join(ROOT, "scenes/mesh_sky.toml"))
+    assert scene.sky_sphere_index >= 0
+    cfg = RenderConfig(width=12, height=8, spp=3, max_bounces=4)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(25))

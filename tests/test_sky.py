@@ -293,3 +293,45 @@ def test_sky_texture_grads_flag():
         np.asarray(g_on.spheres.mat.diffuse.x), rtol=1e-6,
     )
     assert float(jnp.abs(g_off.spheres.mat.diffuse.x).max()) > 0.0
+
+
+@pytest.mark.kernel
+def test_cutout_then_sky_matches_scan():
+    """A ray that passes through an alpha-cutout texel and then hits the
+    sky exercises the is_alpha/alpha_depth bookkeeping AGAINST the sky
+    slot: the sky's emissive early return must still replace both
+    radiance and the denoiser albedo with the (boosted) texel. Compared
+    kernel-vs-scan on a cutout mesh + textured sky scene."""
+    from raytpu.camera import make_camera
+    from raytpu.config import load_scene
+    from raytpu.core.types import TextureAtlas
+    from raytpu.kernels.trace_scene import supported
+
+    scene, cam, cfg = load_scene("scenes/mesh_sky.toml")
+    # force every texel of the mesh atlas to CUTOUT (alpha < 1e-4): all
+    # mesh hits pass through and continue to the ground/sky
+    atlas = scene.atlas
+    scene = scene.replace(
+        atlas=TextureAtlas(
+            rgb=atlas.rgb, alpha=jnp.zeros_like(atlas.alpha),
+            width=atlas.width, height=atlas.height,
+        )
+    )
+    cfg = cfg.replace(width=12, height=8, spp=3, max_bounces=4,
+                      merge_quads=False)
+    assert supported(scene, cfg)
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(36)
+    a = render(scene, cam, cfg, pids, key)
+    b = render(
+        scene, cam, cfg.replace(use_megakernel=True, pallas_interpret=True),
+        pids, key,
+    )
+    for name in ("radiance", "albedo", "normal"):
+        x = np.asarray(getattr(a, name).to_array())
+        y = np.asarray(getattr(b, name).to_array())
+        bad = (np.abs(x - y) > 1e-4 + 1e-5 * np.abs(x)).any(axis=-1)
+        assert bad.mean() <= 0.02, (
+            f"{name}: {bad.mean():.2%} pixels differ "
+            f"(max {np.abs(x - y).max():.4f})"
+        )
