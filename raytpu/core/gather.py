@@ -42,9 +42,13 @@ LANE = 128
 SMALL = 64          # <= this: XLA's select-tree take is fastest
 ROW_LIMIT = 65536   # channel-lane layout memory cap: 65536*128*4B = 32MB
 _BWD_CHUNK = 32768  # rows per one-hot matmul chunk in the gather VJP
-_SORT_BWD_ROWS = 8192  # above this the VJP switches from one-hot
-                       # matmuls (O(B*N)) to sort + prefix-sum + two
-                       # searchsorteds (O(B + N)) — see _take_rows_bwd
+_SORT_BWD_ROWS = 8192   # rows below this always take the exact one-hot
+                        # matmul VJP (O(B*N) work)
+_MATMUL_BWD_MACS = 2**31  # above _SORT_BWD_ROWS the matmul is still
+                        # preferred (exactness) while B*N stays under
+                        # this MAC budget (~20ms of MXU); past it the
+                        # sort + prefix-sum path takes over — see
+                        # _take_rows_bwd
 
 
 # ---------------------------------------------------------------------------
@@ -88,7 +92,7 @@ def _take_rows_fwd(n, tbl, idx):
 
 def _take_rows_bwd(n, idx, g):
     b = idx.shape[0]
-    if n > _SORT_BWD_ROWS:
+    if n > _SORT_BWD_ROWS and n * b > _MATMUL_BWD_MACS:
         # one-hot matmul work is O(B * N * 128) MACs — fine for atlas-
         # sized tables, catastrophic for equirect-sky-sized ones (the
         # 4096x2048 sky = 262144 interleaved rows: ~2.5e16 MACs per
@@ -96,9 +100,11 @@ def _take_rows_bwd(n, idx, g):
         # mesh+sky fwd+bwd bench). Sort-based segment sums are
         # O((B + N) * 128): sort cotangent rows by destination, prefix-
         # sum, and difference at each row's [first, last) occurrence
-        # range via two searchsorteds. f32 prefix-sum cancellation is
-        # bounded by the cotangent scale (grad tests cover the small
-        # sizes; production pullbacks tolerate ~1e-6 relative).
+        # range via two searchsorteds. The combined threshold keeps the
+        # EXACT matmul for every case it can afford (mid-size tables /
+        # small batches) so its precision is only traded away where the
+        # matmul is genuinely infeasible; f32 prefix-sum cancellation
+        # is bounded by the cotangent scale.
         order = jnp.argsort(idx)
         si = jnp.take(idx, order)
         sg = jnp.take(g, order, axis=0)

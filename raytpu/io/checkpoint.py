@@ -41,10 +41,17 @@ from raytpu.integrator.render import (
 def _fingerprint(cfg: RenderConfig, seed: int) -> dict:
     d = dataclasses.asdict(cfg)
     d["seed"] = seed
-    # execution-strategy knobs with bit-identical outputs
-    # (tests/test_pallas.py) must not invalidate a resume
+    # execution-strategy knobs must not invalidate a resume:
+    # use_pallas/pallas_interpret are bit-identical (tests/test_pallas),
+    # pixel_tile only changes host-side batching (per-pixel sums are
+    # tile-independent), and use_megakernel agrees with the scan path
+    # to ulps per backend (same class as use_pallas) — without popping
+    # these, checkpoints written before the CLI enabled the fast path
+    # (or on a CPU host) could never resume on TPU
     d.pop("use_pallas", None)
     d.pop("pallas_interpret", None)
+    d.pop("pixel_tile", None)
+    d.pop("use_megakernel", None)
     # canonicalize through a JSON round-trip: tuple-typed fields
     # (quad_pairs) otherwise come back from the sidecar as lists and the
     # strict comparison in load_checkpoint rejects EVERY resume

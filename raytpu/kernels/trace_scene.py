@@ -419,9 +419,9 @@ def _kernel(
     ox, oy, oz, dx, dy, dz,           # VMEM (ROWS, LANE) ray tiles
     draws_ref,                         # VMEM (BN*3, ROWS, LANE)
     inc_x, inc_y, inc_z, alb_x, alb_y, alb_z, nrm_x, nrm_y, nrm_z,
-    *opt_refs,                         # sky on: 5 sky planes (skl3, texel,
-                                       # early); then with_indices:
-                                       # (BN, ROWS, LANE) i32
+    *opt_refs,                         # sky on: 7 sky planes (skl3, unit
+                                       # direction 3, early); then
+                                       # with_indices: (BN, ROWS, LANE) i32
     n_spheres, n_tris, n_mats, has_atlas, atlas_w,
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tex_limbs,
@@ -773,7 +773,12 @@ def _kernel(
                     t_off += cnt_t
                     bg, gi = wing
                     deng = jnp.where(detg > 0.0, detg, f1)
-                    better = bg * best_den < best * deng
+                    # the (bg < BIG) gate keeps the miss sentinel out of
+                    # the fraction compare: with deng > 1 (non-unit ray
+                    # directions make |d_k| > 1) BIG*best_den < BIG*deng
+                    # would otherwise "win" with gi = -1 and fabricate a
+                    # hit on sphere n_spheres-1
+                    better = (bg < BIG) & (bg * best_den < best * deng)
                     best = jnp.where(better, bg, best)
                     best_den = jnp.where(better, deng, best_den)
                     bidx = jnp.where(better, n_spheres + gi, bidx)

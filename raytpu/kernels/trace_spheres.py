@@ -716,15 +716,10 @@ def compose_sky(scene: Scene, cfg: RenderConfig, out6):
     from raytpu.core.color import hsl_boost
     from raytpu.core.gather import gather_channels
 
+    from raytpu.materials.texture import sky_texel_index
+
     inc, alb, nrm, skl, sdir, early_p = out6
-    theta = jnp.arccos(jnp.clip(-sdir.y, -1.0, 1.0))
-    phi = jnp.arctan2(-sdir.z, sdir.x) + jnp.pi
-    u = phi / (2.0 * jnp.pi)
-    v = theta / jnp.pi
-    w, h = scene.sky.width, scene.sky.height
-    x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
-    idx = y * w + x
+    idx = sky_texel_index(sdir, scene.sky.width, scene.sky.height)
     if not cfg.sky_texture_grads and scene.sky.packed is not None:
         # fast path: u8-packed row-gather (bit-identical values, a
         # quarter of the bytes — SkyTexture.packed); texel cotangents

@@ -182,27 +182,37 @@ def checker_value(c1: Vec3, c2: Vec3, scale, p: Vec3) -> Vec3:
     return Vec3.where(even, c1, c2)
 
 
+def sky_texel_index(d: Vec3, w: int, h: int) -> Array:
+    """Equirect direction -> flat texel index (sphere_uvmapping,
+    texture.h:92-112): theta = acos(-d.y); phi = atan2(-d.z, d.x) + pi;
+    u = phi/2pi, v = theta/pi; nearest texel.
+
+    THE single copy of the UV chain: the scan path (sky_emission) and
+    both megakernels' outside composition (trace_spheres.compose_sky)
+    call it, which is what makes their texel indices bit-identical —
+    do not fork it."""
+    theta = jnp.arccos(jnp.clip(-d.y, -1.0, 1.0))
+    phi = jnp.arctan2(-d.z, d.x) + jnp.pi
+    u = phi / (2.0 * jnp.pi)
+    v = theta / jnp.pi
+    x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
+    return y * w + x
+
+
 def sky_emission(
     sky: SkyTexture, hit_point: Vec3, center: Vec3, radius: Array,
     use_packed: bool = False,
 ) -> Vec3:
     """Equirect sphere UV fetch (sphere_uvmapping, texture.h:92-112):
-    d = (p - c)/r; theta = acos(-d.y); phi = atan2(-d.z, d.x) + pi;
-    u = phi/2pi, v = theta/pi.
+    d = (p - c)/r, then sky_texel_index.
 
     use_packed: fetch through the u8-packed uint32 table when the sky
     carries one — bit-identical values (load_sky builds it only when
     every texel is exactly n * f32(1/255)) at a quarter of the gather
     bytes; callers enable it when sky TEXEL gradients are off."""
     d = (hit_point - center) / radius
-    theta = jnp.arccos(jnp.clip(-d.y, -1.0, 1.0))
-    phi = jnp.arctan2(-d.z, d.x) + jnp.pi
-    u = phi / (2.0 * jnp.pi)
-    v = theta / jnp.pi
-    w, h = sky.width, sky.height
-    x = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
-    idx = y * w + x
+    idx = sky_texel_index(d, sky.width, sky.height)
     if use_packed and sky.packed is not None:
         from raytpu.core.gather import take_packed_rgba
 

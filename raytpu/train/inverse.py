@@ -61,12 +61,24 @@ def partition_scene(scene: Scene):
 
 
 def combine_scene(params, static) -> Scene:
-    return jax.tree.map(
+    scene = jax.tree.map(
         lambda p, s: p if s is None else s,
         params,
         static,
         is_leaf=lambda x: x is None,
     )
+    # sky.rgb is a trainable leaf, but its u8-packed fast-fetch twin
+    # (SkyTexture.packed, a uint32 STATIC leaf) is built once at load —
+    # after an optimizer step the two diverge and the packed fetch would
+    # silently render the pre-training sky. Recombined scenes therefore
+    # drop the packed twin; the f32 gather path produces the same values
+    # (packed is a bit-exact cache, never the source of truth).
+    if (
+        getattr(scene, "sky", None) is not None
+        and scene.sky.packed is not None
+    ):
+        scene = scene.replace(sky=scene.sky.replace(packed=None))
+    return scene
 
 
 def photometric_loss(mean_rad, target: Array) -> Array:

@@ -89,3 +89,51 @@ def test_pack_rgba_u8_rejects_non_lattice():
     bad = np.array([0.0, 0.5, 1.0], np.float32)  # 0.5 not on the lattice
     assert pack_rgba_u8(ok, ok, ok, ok) is not None
     assert pack_rgba_u8(bad, ok, ok, ok) is None
+
+
+def test_take_rows_sort_backward_matches_scatter(monkeypatch):
+    """The sort + prefix-sum + searchsorted VJP (big tables, where the
+    exact one-hot matmul is infeasible) vs a float64 scatter-add
+    reference. The MAC budget is patched down so the small test case
+    actually exercises the sort path."""
+    import numpy as np
+
+    from raytpu.core import gather
+
+    monkeypatch.setattr(gather, "_MATMUL_BWD_MACS", 1)
+    rng = np.random.default_rng(0)
+    n, b = 20000, 3777
+    tbl = jnp.asarray(rng.random((n, 128), np.float32))
+    idx = jnp.asarray(rng.integers(0, n, b, dtype=np.int32))
+    g = jnp.asarray(rng.random((b, 128), np.float32))
+    out, pull = jax.vjp(lambda t: gather._take_rows(t, idx), tbl)
+    (grad,) = pull(g)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(tbl)[np.asarray(idx)]
+    )
+    ref = np.zeros((n, 128), np.float64)
+    np.add.at(ref, np.asarray(idx), np.asarray(g, np.float64))
+    err = np.abs(np.asarray(grad, np.float64) - ref).max()
+    assert err < 1e-3, f"sort-path gradient off by {err}"
+
+
+def test_take_rows_matmul_backward_exact_midsize(monkeypatch):
+    """Mid-size tables (8k < rows, small batch) keep the EXACT one-hot
+    matmul VJP under the MAC budget — the sort path's f32 prefix-sum
+    is only traded in where the matmul is infeasible."""
+    import numpy as np
+
+    from raytpu.core import gather
+
+    rng = np.random.default_rng(1)
+    n, b = 10000, 500          # n*b = 5e6 << the MAC budget
+    tbl = jnp.asarray(rng.random((n, 128), np.float32))
+    idx = jnp.asarray(rng.integers(0, n, b, dtype=np.int32))
+    g = jnp.asarray(rng.random((b, 128), np.float32))
+    _, pull = jax.vjp(lambda t: gather._take_rows(t, idx), tbl)
+    (grad,) = pull(g)
+    ref = np.zeros((n, 128), np.float32)
+    np.add.at(ref, np.asarray(idx), np.asarray(g))
+    # duplicate indices are rare at b << n; sums of <=3 f32 terms through
+    # the f32 matmul accumulate exactly like the scatter reference
+    np.testing.assert_allclose(np.asarray(grad), ref, rtol=0, atol=1e-6)

@@ -195,3 +195,35 @@ def test_zero_pairs_mesh_identical():
     for a, b in zip(on, off):
         for ca, cb in zip(a, b):
             np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
+@pytest.mark.kernel
+def test_miss_with_nonunit_direction_no_phantom_hit():
+    """Regression (round-4 review): the axis-aligned group merge must
+    gate the BIG miss sentinel out of the fraction compare — with
+    |d_k| > 1 (bounce directions exceed unit norm whenever
+    reflection > 1; callers may also pass unnormalized directions) a
+    miss-vs-miss compare otherwise 'wins' with index -1 and fabricates
+    a hit on sphere n_spheres-1."""
+    from raytpu.integrator.path import n_bounce_draws, trace
+    from raytpu.kernels.trace_scene import trace_mesh_megakernel
+
+    scene, cam, cfg = load_scene("scenes/grass_block.toml")
+    cfg = cfg.replace(spp=1, max_bounces=2)
+    b = 128
+    # rays far outside all geometry, pointing away, |direction| = 2
+    from raytpu.core.vec3 import Vec3
+
+    origin = Vec3(
+        jnp.full((b,), 500.0), jnp.full((b,), 500.0), jnp.full((b,), 500.0)
+    )
+    direction = Vec3(
+        jnp.full((b,), 2.0), jnp.zeros((b,)), jnp.zeros((b,))
+    )
+    draws = jnp.full((cfg.max_bounces, n_bounce_draws(cfg), b), 0.5)
+    a = trace(scene, cfg, origin, direction, draws)
+    k = trace_mesh_megakernel(scene, cfg, origin, direction, draws,
+                              interpret=True)
+    for want, got in zip(a, k):
+        for cw, cg in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(cw), np.asarray(cg))
