@@ -53,21 +53,29 @@ branch flips on a small fraction in deep-refraction scenes (measured
 0.4-2.7% at 4-19 bounces, tools/probe_deep_bounce.py).
 
 Scope: spheres <= 64, 1..2048 triangles, materials <= 64, optional
-texture atlas, refraction/cutout/HSL/bright-boost, forward only, AO
-off, no equirect sky (those fall back to the scan path; render()
-dispatches automatically and uses the scan path for gradients via the
-same custom-VJP wrapper as the sphere megakernel).
+texture atlas, refraction/cutout/HSL/bright-boost, equirect sky (slot
+scheme below), AO off (that falls back to the scan path; render()
+dispatches automatically). Gradients run the backward megakernel
+(kernels/trace_scene_bwd) to 16 bounces, the index-replay scan path
+beyond.
+
+Equirect sky: the kernel records one sky-hit slot per ray — throughput
+scale + unit hit direction (Mosaic has no acos/atan2 lowering, so the
+UV chain runs OUTSIDE in trace_spheres.compose_sky, op-for-op the scan
+path's sky_emission) — exact under the black-diffuse pure-emitter
+convention raytpu.config enforces.
 
 Rectangle fast path: when the scene loader detected coplanar triangle
 pairs (geometry/quads.py; cfg.quad_pairs, gated by cfg.merge_quads),
 the per-triangle loop is replaced by one parallelogram test per pair
 plus a leftover-triangle loop, both division-free (fraction-ranked
-candidates, one divide per ray per bounce) — ~2x fewer primitive tests
-on block-world meshes (/root/reference/triangle.hu:42-59's cull analog
-at the primitive level). Winner indices remain original triangle
-indices, so extraction/shading/backward are untouched; validated by
-allclose + winner-agreement (tests/test_quad_merge.py), not
-bit-identity.
+candidates, one divide per ray per bounce); axis-aligned rects/tris —
+the overwhelming majority on block-world exports — take cheaper
+per-(normal-axis, sign) grouped flat loops whose candidates share the
+plane-normalized denominator (~26 VPU ops per ray-rect vs ~60).
+Winner indices remain original triangle indices, so extraction/
+shading/backward are untouched; validated by allclose +
+winner-agreement (tests/test_quad_merge.py), not bit-identity.
 """
 
 from __future__ import annotations
@@ -163,9 +171,9 @@ def supported(scene: Scene, cfg: RenderConfig) -> bool:
         scene.triangles.count > 0
         and scene.triangles.count <= MAX_TRIS
         and scene.spheres.count <= 64
-        # equirect sky runs in-kernel via the slot scheme (one texel
-        # index + throughput scale per ray, composed outside by a row
-        # gather) — the index just has to name a real sphere
+        # equirect sky runs in-kernel via the slot scheme (unit hit
+        # direction + throughput scale per ray, composed outside by a
+        # row gather) — the index just has to name a real sphere
         and (scene.sky_sphere_index < 0
              or scene.sky_sphere_index < scene.spheres.count)
         and not cfg.use_ao
