@@ -848,11 +848,12 @@ def _kernel(
         acc0 = jnp.zeros((trivm_ref.shape[0], n), jnp.float32)
         ext_iota = jax.lax.broadcasted_iota(jnp.int32, (EXT_CHUNK, n), 0)
 
-        # NOTE a shared low-part onehot with per-chunk high masks would
-        # halve the compare+cast work, but keeping the (EXT_CHUNK, n)
-        # bf16 plane live across the chunk loop pushes the kernel 1.8MB
-        # past the 16MB scoped-VMEM limit at ROWS_BIG (measured OOM) —
-        # the per-chunk transient below is the VMEM-feasible form
+        # NOTE two variants of a cheaper onehot were measured and
+        # rejected on v5e (r4): a shared low-part onehot with per-chunk
+        # high masks OOMs scoped VMEM at ROWS_BIG (+1.8MB past 16MB),
+        # and running it at ROWS=32 loses more to the smaller tile than
+        # the halved compares save (0.208 vs 0.222 Grays/s on mcworld).
+        # The per-chunk transient below is the best VMEM-feasible form.
         def ext_chunk(c, acc):
             onehot = (ext_iota == sel_flat - c * EXT_CHUNK).astype(
                 jnp.bfloat16
