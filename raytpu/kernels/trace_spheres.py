@@ -37,9 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 from raytpu.core.types import Materials, RenderConfig, Scene, Spheres
 from raytpu.core.vec3 import Vec3
 
+import os as _os
+
 LANE = 128
-ROWS = 16           # rays per grid step = 2048; larger tiles spill registers
-                    # ~24 live per-ray planes in registers
+ROWS = int(_os.environ.get("RAYTPU_SPH_ROWS", "16"))
+                    # rays per grid step = 2048; larger tiles spill registers
+                    # ~24 live per-ray planes in registers (env override
+                    # is a probe knob, like RAYTPU_MK_ROWS)
 BWD_ROWS = 8        # backward kernel: AD keeps every bounce's
                     # intermediates live for the reverse sweep (~6x the
                     # forward's footprint); 16 measures the same at 6
