@@ -478,6 +478,8 @@ def main() -> None:
     for tag, spec, bounces, metric in (
         ("pyramide", "scenes/pyramide.toml", 5,
          "fwd_rays_per_sec_chip_cfg3_pyramide_1000x750"),
+        ("grassblock", "scenes/grass_block.toml", 5,
+         "fwd_rays_per_sec_chip_cfg4_grassblock_1000x750"),
         ("mcworld", "scenes/mcworld_water.toml", 6,
          "fwd_rays_per_sec_chip_cfg5_mcworld_1200x900"),
     ):

@@ -28,7 +28,7 @@ LABELS = [
     ("cfg3_pyramide_1000x750", "3. pyramide mesh 1000x750/5b",
      "mesh megakernel", "pyramide"),
     ("cfg4_grassblock_1000x750", "4. grass_block textures 1000x750/5b",
-     "mesh megakernel (in-kernel texel fetch)", None),
+     "mesh megakernel (in-kernel texel fetch)", "grassblock"),
     ("cfg5_mcworld_1200x900", "5. mcworld 606 tris + refraction 1200x900/6b",
      "mesh megakernel (axis-aligned fast loops)", "mcworld"),
     ("sky_1000x750", "sky showcase (equirect texture) 1000x750/4b",
