@@ -201,6 +201,26 @@ def measure_denoise(width=1200, height=900):
     return {k: mpix / v for k, v in results.items()}
 
 
+def _expected_steps() -> dict:
+    """Checked-in expectations for REAL step-changes (VERDICT r4 weak #2:
+    BENCH_r04's record carried a 'suspect a mis-capture' warning on its
+    best number — the genuine 10.2x backward-megakernel jump — because
+    emit() could not tell an expected improvement from a bad capture).
+
+    bench_expected_steps.json maps metric -> {"min_vs": float,
+    "max_vs": float, "note": str}: when vs_baseline lands inside the
+    declared band the out-of-[0.5,3] warning is replaced by an INFO line
+    naming the change; outside the band (or for unlisted metrics) the
+    warning stays — the band exists for *explained* jumps only.
+    """
+    path = os.path.join(ROOT, "bench_expected_steps.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def emit(metric, value, prev, unit="rays/s"):
     vs = round(value / prev, 4) if prev else 1.0
     print(json.dumps({
@@ -210,6 +230,14 @@ def emit(metric, value, prev, unit="rays/s"):
         "vs_baseline": vs,
     }), flush=True)
     if prev and (vs < 0.5 or vs > 3.0):
+        exp = _expected_steps().get(metric)
+        if exp and exp.get("min_vs", 0.5) <= vs <= exp.get("max_vs", 3.0):
+            print(
+                f"bench INFO: {metric} vs_baseline={vs} is an expected "
+                f"step-change: {exp.get('note', '')}",
+                file=sys.stderr, flush=True,
+            )
+            return
         # VERDICT r2 task 2d: a bad capture must be visible in the tail —
         # BENCH_r02 silently recorded fwd+bwd at 0.16x the reproducible
         # value. This line does not change the JSON record.

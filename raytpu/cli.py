@@ -92,6 +92,10 @@ def cmd_render(argv) -> int:
     ap.add_argument("--bilinear", action="store_true",
                     help="bilinear texture filtering (differentiable "
                          "mode; reference semantics are nearest)")
+    ap.add_argument("--no-megakernel", action="store_true",
+                    help="force the always-correct XLA scan path even on "
+                         "TPU backends (escape hatch for kernel-path "
+                         "regressions; RAYTPU_NO_MEGAKERNEL=1 equivalent)")
     _add_render_overrides(ap)
     args = ap.parse_args(argv)
     scene_name = args.scene_flag or args.scene
@@ -119,8 +123,15 @@ def cmd_render(argv) -> int:
     # logged reason); when a kernel DOES serve the frame, stream much
     # bigger pixel tiles — the kernel grid tiles internally and each
     # host dispatch costs ~28ms through the tunnel, while the small
-    # default tile exists for the scan path's (rays x prims) matrices
-    if jax.default_backend() != "cpu":
+    # default tile exists for the scan path's (rays x prims) matrices.
+    # --no-megakernel / RAYTPU_NO_MEGAKERNEL=1 is the escape hatch: the
+    # scan path stays reachable without editing code (ADVICE r4).
+    import os as _os_mod
+
+    no_mk = args.no_megakernel or bool(
+        int(_os_mod.environ.get("RAYTPU_NO_MEGAKERNEL", "0") or "0")
+    )
+    if jax.default_backend() != "cpu" and not no_mk:
         cfg = cfg.replace(use_megakernel=True)
         from raytpu.kernels import trace_scene, trace_spheres
 

@@ -44,6 +44,9 @@ ROW_LIMIT = 65536   # channel-lane layout memory cap: 65536*128*4B = 32MB
 _BWD_CHUNK = 32768  # rows per one-hot matmul chunk in the gather VJP
 _SORT_BWD_ROWS = 8192   # rows below this always take the exact one-hot
                         # matmul VJP (O(B*N) work)
+_SEG_CHUNK = 1024   # sorted rows per local-prefix chunk in the sort-path
+                    # VJP: segments inside one chunk difference local
+                    # prefixes only (ADVICE r4 precision fix)
 _MATMUL_BWD_MACS = 2**31  # above _SORT_BWD_ROWS the matmul is still
                         # preferred (exactness) while B*N stays under
                         # this MAC budget (~20ms of MXU); past it the
@@ -103,18 +106,57 @@ def _take_rows_bwd(n, idx, g):
         # range via two searchsorteds. The combined threshold keeps the
         # EXACT matmul for every case it can afford (mid-size tables /
         # small batches) so its precision is only traded away where the
-        # matmul is genuinely infeasible; f32 prefix-sum cancellation
-        # is bounded by the cotangent scale.
+        # matmul is genuinely infeasible.
+        #
+        # TWO-LEVEL prefix (ADVICE r4): a single global f32 cumsum makes
+        # the difference cs[hi]-cs[lo] lose bits proportional to the
+        # RUNNING PREFIX magnitude — at production batch sizes a late
+        # small segment can cancel away most of its significance. Here
+        # the prefix is chunked (_SEG_CHUNK sorted rows per chunk):
+        # a segment contained in one chunk differences LOCAL prefixes
+        # (error bounded by chunk-local magnitudes, the chunk totals
+        # cancel structurally, not numerically); a segment spanning
+        # chunks — necessarily >= _SEG_CHUNK rows — combines its two
+        # partial chunks with the coarse chunk-total prefix, whose
+        # granularity matches the segment size.
         order = jnp.argsort(idx)
         si = jnp.take(idx, order)
         sg = jnp.take(g, order, axis=0)
-        cs = jnp.concatenate(
-            [jnp.zeros((1, LANE), jnp.float32), jnp.cumsum(sg, axis=0)]
+        b_r = si.shape[0]
+        nch = -(-b_r // _SEG_CHUNK)
+        pad_r = nch * _SEG_CHUNK - b_r
+        sg_p = jnp.pad(sg, ((0, pad_r), (0, 0))).reshape(
+            nch, _SEG_CHUNK, LANE
         )
+        lc = jnp.cumsum(sg_p, axis=1)                 # inclusive, local
+        tot = lc[:, -1]                               # (nch, 128)
+        # exclusive local prefix at flat position p (+1 virtual row for
+        # p == nch*_SEG_CHUNK, whose chunk index is the virtual chunk)
+        loc = jnp.concatenate([
+            jnp.concatenate(
+                [jnp.zeros((nch, 1, LANE), jnp.float32), lc[:, :-1]],
+                axis=1,
+            ).reshape(nch * _SEG_CHUNK, LANE),
+            jnp.zeros((1, LANE), jnp.float32),
+        ])
+        # exclusive coarse prefix over chunk totals (+ virtual chunk)
+        cpre = jnp.concatenate(
+            [jnp.zeros((1, LANE), jnp.float32), jnp.cumsum(tot, axis=0)]
+        )
+        tot = jnp.concatenate([tot, jnp.zeros((1, LANE), jnp.float32)])
         targets = jnp.arange(n, dtype=si.dtype)
         lo = jnp.searchsorted(si, targets, side="left")
         hi = jnp.searchsorted(si, targets, side="right")
-        grad = jnp.take(cs, hi, axis=0) - jnp.take(cs, lo, axis=0)
+        klo, khi = lo // _SEG_CHUNK, hi // _SEG_CHUNK
+        loc_lo = jnp.take(loc, lo, axis=0)
+        loc_hi = jnp.take(loc, hi, axis=0)
+        same = (klo == khi)[:, None]
+        cross = (
+            (jnp.take(tot, klo, axis=0) - loc_lo)
+            + (jnp.take(cpre, khi, axis=0) - jnp.take(cpre, klo + 1, axis=0))
+            + loc_hi
+        )
+        grad = jnp.where(same, loc_hi - loc_lo, cross)
         return grad, None
     nchunks = -(-b // _BWD_CHUNK)
     pad = nchunks * _BWD_CHUNK - b

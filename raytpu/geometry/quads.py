@@ -15,6 +15,10 @@ untouched.
 
 Detection is geometric and material-blind: materials/UVs live on the
 recovered triangle, so two halves with different materials still merge.
+(For such mixed-material pairs, hits inside the ~tri_eps diagonal crack
+the per-triangle reference test leaves attribute to half i's material
+via the pu+pv<=det split — a deliberate, tested divergence bounded by
+the allclose tests' outlier budget; see trace_scene.py's quad_body.)
 Measured pairing on the shipped scenes (tests/test_quad_merge.py):
 mcworld 606 tris -> 266 rects + 74 leftovers, caverne 762 -> 380 + 2,
 grass_block 12 -> 6 + 0, pyramide_eau 34 -> 9 + 16, pyramide 6 -> 1 + 4,

@@ -8,11 +8,12 @@ main_cuda.cu:86-141). Between bounces every carried quantity (origin,
 direction, throughput, radiance, AOVs, alive mask, medium IOR) lives in
 vector registers / VMEM; nothing round-trips through HBM.
 
-Scope: sphere scenes (the flagship benchmark configuration), forward
-only, AO off, identity HSL factors. The XLA scan path
-(integrator.path.trace) remains the general, differentiable
-implementation; render() dispatches here when
-``cfg.use_megakernel`` is set and the scene qualifies, and the two are
+Scope: every sphere-scene configuration up to 64 spheres — forward AND
+backward (``_bwd_kernel``), AO probes in-kernel, configurable HSL
+factors, refraction/cutout, equirect sky via the slot scheme. The XLA
+scan path (integrator.path.trace) remains the general, always-correct
+implementation; render() dispatches here when ``cfg.use_megakernel``
+is set and the scene qualifies (see ``supported()``), and the two are
 tested against each other (tests/test_megakernel.py).
 
 Semantics mirror integrator.path bounce-for-bounce: AOV base cases,

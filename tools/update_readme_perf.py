@@ -124,8 +124,34 @@ def main() -> None:
             "README.md has no <!-- bench:begin -->..<!-- bench:end --> "
             "markers; add them around the performance table first"
         )
+    src = _update_test_count(src)
     open(readme, "w").write(src)
     print("README.md performance block regenerated")
+
+
+def _update_test_count(src: str) -> str:
+    """Keep README's '(`tests/`, N tests)' claim script-maintained
+    (VERDICT r4 next #8: the hand-written count was wrong once in r3).
+    Collected count from pytest itself; on a collection error the claim
+    is left untouched rather than corrupted."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "--collect-only",
+             "-q", "--no-header"],
+            capture_output=True, text=True, cwd=ROOT, timeout=300,
+        ).stdout
+        m = re.search(r"(\d+) tests collected", out)
+        if not m:
+            return src
+        return re.sub(
+            r"\(`tests/`, \d+ tests\)",
+            f"(`tests/`, {m.group(1)} tests)",
+            src,
+        )
+    except Exception:
+        return src
 
 
 if __name__ == "__main__":
