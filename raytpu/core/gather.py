@@ -324,6 +324,44 @@ def take_packed_rgba(
     return _take_packed_n(r.shape[0], r, g, b, a, packed, idx)
 
 
+def pack_rgba_u8_traced(
+    r: Array, g: Array, b: Array, a: Array
+) -> tuple[Array, Array]:
+    """In-graph twin of io.obj.pack_rgba_u8: build the u8-packed uint32
+    row-gather table from LIVE channel values, plus a scalar validity
+    flag (all four channels exactly ``n * f32(1/255)``).
+
+    This is how training loops keep the packed fast path without a stale
+    cache (VERDICT r4 next #3): combine_scene drops the load-time packed
+    twin (it would go stale after optimizer steps), and the fetch site
+    rebuilds it HERE from the current rgb — an unmutated u8-exact sky
+    packs to the identical table (bit-exact fetch, `valid` true), while
+    a mutated sky fails the exactness check and the caller's lax.cond
+    takes the exact f32 gather instead. The pack is O(texels) elementwise
+    work on values the render already holds; XLA hoists it out of the
+    per-sample scan because it depends only on the scene.
+    """
+    valid = jnp.bool_(True)
+    codes = []
+    inv = jnp.float32(1.0 / 255.0)
+    for c in (r, g, b, a):
+        n = jnp.clip(jnp.round(c * 255.0), 0.0, 255.0)
+        # in-range + exact round-trip, matching the host-side packer's
+        # rejection rules (NaN fails both equalities)
+        valid = valid & jnp.all(jnp.round(c * 255.0) == n)
+        valid = valid & jnp.all(n * inv == c)
+        codes.append(n.astype(jnp.uint32))
+    v = (
+        codes[0]
+        | (codes[1] << jnp.uint32(8))
+        | (codes[2] << jnp.uint32(16))
+        | (codes[3] << jnp.uint32(24))
+    )
+    n_rows = -(-v.shape[0] // LANE)
+    v = jnp.pad(v, (0, n_rows * LANE - v.shape[0]))
+    return v.reshape(n_rows, LANE), valid
+
+
 def gather1d(table: Array, idx: Array) -> Array:
     """table (N,), idx (...,) int -> table[idx]; TPU-fast in compile AND
     runtime. Prefer gather_channels when several tables share the index."""

@@ -725,23 +725,45 @@ def compose_sky(scene: Scene, cfg: RenderConfig, out6):
 
     inc, alb, nrm, skl, sdir, early_p = out6
     idx = sky_texel_index(sdir, scene.sky.width, scene.sky.height)
-    if not cfg.sky_texture_grads and scene.sky.packed is not None:
-        # fast path: u8-packed row-gather (bit-identical values, a
-        # quarter of the bytes — SkyTexture.packed); texel cotangents
-        # are opt-in, so gradients stop here either way
+    if not cfg.sky_texture_grads:
         from raytpu.core.gather import take_packed_rgba
 
-        r, g, b, _ = take_packed_rgba(
-            scene.sky.rgb.x, scene.sky.rgb.y, scene.sky.rgb.z,
-            scene.sky.rgb.x, scene.sky.packed, idx,
-        )
+        # gradients stop at the texels either way (matches the scan
+        # path's stop_gradient in integrator/hit.py)
+        sr = jax.lax.stop_gradient(scene.sky.rgb.x)
+        sg_ = jax.lax.stop_gradient(scene.sky.rgb.y)
+        sb = jax.lax.stop_gradient(scene.sky.rgb.z)
+        if scene.sky.packed is not None:
+            # fast path: u8-packed row-gather (bit-identical values, a
+            # quarter of the bytes — SkyTexture.packed)
+            r, g, b, _ = take_packed_rgba(
+                sr, sg_, sb, sr, scene.sky.packed, idx,
+            )
+        else:
+            # training path: combine_scene dropped the packed twin so a
+            # stale table can never be rendered; rebuild it in-graph
+            # from the LIVE rgb (pack_rgba_u8_traced) — unmutated
+            # u8-exact skies keep the fast fetch bit-exactly, mutated
+            # ones fail the exactness check and lax.cond takes the f32
+            # gather (VERDICT r4 next #3; tests/test_sky.py).
+            from raytpu.core.gather import pack_rgba_u8_traced
+
+            packed, valid = pack_rgba_u8_traced(sr, sg_, sb, sr)
+
+            def _fast(_):
+                r, g, b, _a = take_packed_rgba(
+                    sr, sg_, sb, sr, packed, idx
+                )
+                return r, g, b
+
+            def _slow(_):
+                return tuple(gather_channels([sr, sg_, sb], idx))
+
+            r, g, b = jax.lax.cond(valid, _fast, _slow, 0)
     else:
         r, g, b = gather_channels(
             [scene.sky.rgb.x, scene.sky.rgb.y, scene.sky.rgb.z], idx
         )
-    if not cfg.sky_texture_grads:
-        # matches the scan path's stop_gradient in integrator/hit.py
-        r, g, b = (jax.lax.stop_gradient(c) for c in (r, g, b))
     sky_rgb = Vec3(r, g, b)
     early = early_p > 0.0
     boosted = hsl_boost(sky_rgb, cfg.hsl_l_factor, cfg.hsl_s_factor)

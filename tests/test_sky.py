@@ -335,3 +335,89 @@ def test_cutout_then_sky_matches_scan():
             f"{name}: {bad.mean():.2%} pixels differ "
             f"(max {np.abs(x - y).max():.4f})"
         )
+
+
+def test_ingraph_packed_sky_fresh_never_stale():
+    """Training-path packed sky (VERDICT r4 next #3): combine_scene drops
+    the load-time packed twin, and compose_sky rebuilds it IN-GRAPH from
+    the live rgb (core.gather.pack_rgba_u8_traced). Three properties:
+
+      1. unmutated u8-exact sky: the in-graph pack equals the host-side
+         packer's table and compose_sky's output is bit-identical to the
+         packed=<load-time table> run;
+      2. mutated (non-u8-exact) sky: validity trips, the f32 gather runs,
+         and the output reflects the MUTATED texels — a stale cache is
+         structurally impossible;
+      3. a mutated-but-still-u8-exact sky (texel codes changed) repacks
+         to the NEW table, again never the stale one.
+    """
+    import numpy as np
+
+    from raytpu.core.gather import pack_rgba_u8_traced
+    from raytpu.io.obj import pack_rgba_u8
+    from raytpu.kernels.trace_spheres import compose_sky
+
+    rng = np.random.default_rng(11)
+    h, w = 8, 16
+    codes = rng.integers(0, 256, (h * w, 3))
+    flat = codes.astype(np.float32) * np.float32(1.0 / 255.0)
+    host_packed = pack_rgba_u8(
+        flat[:, 0], flat[:, 1], flat[:, 2], flat[:, 0]
+    )
+    packed, valid = jax.jit(pack_rgba_u8_traced)(
+        jnp.asarray(flat[:, 0]), jnp.asarray(flat[:, 1]),
+        jnp.asarray(flat[:, 2]), jnp.asarray(flat[:, 0]),
+    )
+    assert bool(valid)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(host_packed))
+
+    # synthetic sky-slot output for compose_sky: every ray an emissive
+    # early return pointing somewhere on the sphere
+    n = 256
+    k = jax.random.PRNGKey(7)
+    d = Vec3(*(jax.random.normal(jax.random.fold_in(k, i), (n,))
+               for i in range(3)))
+    d = d * (1.0 / (d.x**2 + d.y**2 + d.z**2) ** 0.5)
+    zero = Vec3.zeros((n,))
+    one = Vec3(jnp.ones((n,)), jnp.ones((n,)), jnp.ones((n,)))
+    out6 = (zero, zero, zero, one, d, jnp.ones((n,)))
+    cfg = RenderConfig(width=8, height=6, spp=1, max_bounces=2)
+
+    def sky_of(arr, packed=None):
+        return SkyTexture(
+            rgb=Vec3(jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]),
+                     jnp.asarray(arr[:, 2])),
+            packed=packed, width=w, height=h,
+        )
+
+    def run(sky):
+        scene = Scene.from_spheres(spheres_from_rows([
+            ((0, 0, 0), 1000.0, BLACK, (1, 1, 1), 1.0, 0.0, 1.0, 1.0),
+        ])).replace(sky=sky, sky_sphere_index=0)
+        inc, alb, nrm = jax.jit(
+            lambda sc: compose_sky(sc, cfg, out6)
+        )(scene)
+        return np.asarray(inc.to_array())
+
+    base = run(sky_of(flat, packed=jnp.asarray(host_packed)))
+    ingraph = run(sky_of(flat, packed=None))       # property 1
+    np.testing.assert_array_equal(base, ingraph)
+
+    mutated = flat.copy()
+    mutated[:, 0] = mutated[:, 0] * 0.7 + 0.011    # non-u8-exact
+    got = run(sky_of(mutated, packed=None))        # property 2
+    want = run(sky_of(mutated, packed=pack_rgba_u8(
+        mutated[:, 0], mutated[:, 1], mutated[:, 2], mutated[:, 0])))
+    # the mutated run must match the exact f32 ground truth...
+    truth = run(sky_of(mutated.astype(np.float64).astype(np.float32),
+                       packed=None))
+    np.testing.assert_allclose(got, truth, rtol=0, atol=0)
+    # ...and must NOT equal the stale original anywhere texels changed
+    assert np.abs(got - base).max() > 1e-3
+
+    shifted = ((codes + 40) % 256).astype(np.float32) * np.float32(1 / 255.0)
+    got3 = run(sky_of(shifted, packed=None))       # property 3
+    want3 = run(sky_of(shifted, packed=pack_rgba_u8(
+        shifted[:, 0], shifted[:, 1], shifted[:, 2], shifted[:, 0])))
+    np.testing.assert_array_equal(got3, want3)
+    assert np.abs(got3 - base).max() > 1e-3
