@@ -226,7 +226,7 @@ def shade_bounce(
     u_d, v_d, roulette,
     *,
     alpha_lo, alpha_hi, bright_boost, bright_threshold, hsl_l, hsl_s,
-    with_masks=False,
+    with_masks=False, e_scale_mult=1.0, ao_factor=None,
 ):
     """One bounce's shading: everything AFTER the winner's (point, normal,
     material) is known — AOV base cases, emissive early return, scatter,
@@ -243,6 +243,16 @@ def shade_bounce(
     branch masks — the equirect-sky slot bookkeeping in the forward
     kernel needs them (kernels/trace_spheres.py's take_e/take_a); the
     masks are locals either way, so the default call is unchanged.
+
+    Ambient occlusion (main.c:94-116, 208-222): ``e_scale_mult`` is the
+    static emission compensation ao_emission_factor * ao_intensity the
+    AO mode applies to accumulated emission, and ``ao_factor`` is the
+    per-ray occlusion plane hits/(samples*intensity) that multiplies the
+    throughput update after the bright quirk (op-for-op the sphere
+    megakernel / integrator.path ordering). The occlusion indicator sum
+    is piecewise-constant in every scene parameter, so backward replays
+    pass the RECORDED factor as a constant — gradient-exact vs the scan
+    path, whose AD sees the same zero through the hit booleans.
     """
     (rox, roy, roz, rdx, rdy, rdz,
      rcx, rcy, rcz, ix, iy, iz,
@@ -383,9 +393,10 @@ def shade_bounce(
     rdz = jnp.where(do_refract, refz, jnp.where(use_dr, drz, rdz))
 
     accum = live & ~do_refract & ~cutout
-    ix = jnp.where(accum, ix + emx * estr * rcx, ix)
-    iy = jnp.where(accum, iy + emy * estr * rcy, iy)
-    iz = jnp.where(accum, iz + emz * estr * rcz, iz)
+    e_scale = estr if e_scale_mult == 1.0 else estr * e_scale_mult
+    ix = jnp.where(accum, ix + emx * e_scale * rcx, ix)
+    iy = jnp.where(accum, iy + emy * e_scale * rcy, iy)
+    iz = jnp.where(accum, iz + emz * e_scale * rcz, iz)
     bright = (
         (rcx > bright_threshold)
         | (rcy > bright_threshold)
@@ -394,6 +405,10 @@ def shade_bounce(
     nbx = jnp.where(bright, dfx * (dfx * (rcx * bright_boost)), dfx * rcx)
     nby = jnp.where(bright, dfy * (dfy * (rcy * bright_boost)), dfy * rcy)
     nbz = jnp.where(bright, dfz * (dfz * (rcz * bright_boost)), dfz * rcz)
+    if ao_factor is not None:
+        nbx = nbx * ao_factor
+        nby = nby * ao_factor
+        nbz = nbz * ao_factor
     rcx = jnp.where(accum, nbx, rcx)
     rcy = jnp.where(accum, nby, rcy)
     rcz = jnp.where(accum, nbz, rcz)
@@ -1728,13 +1743,17 @@ def _mkm_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
     return out, (scene, origin, direction, bounce_draws, idx)
 
 
-# deepest bounce count the backward megakernel fits in scoped VMEM: AD
-# keeps per-bounce replay residuals resident, ~1MB/bounce at BWD_ROWS on
-# top of a fixed base; measured on v5e at the largest shipped mesh
-# (mcworld): 16 bounces compiles, 18 overflows the 16MB scoped limit by
-# ~2MB (tools/deep_bounce_smoke.py is the gate that caught this —
-# ADVICE r3 #3). Deeper grads take the always-correct scan replay.
-BWD_KERNEL_MAX_BOUNCES = 16
+# deepest bounce count the backward megakernel serves. Round 4's single
+# jax.vjp over the whole replay kept ~1MB/bounce of AD residuals
+# resident and hit the 16MB scoped-VMEM limit at 18 bounces on mcworld;
+# the round-5 windowed reverse sweep (trace_scene_bwd._bwd_kernel:
+# checkpoint the carry every WINDOW bounces, differentiate per window)
+# bounds residuals by one window, so depth now costs only checkpointed
+# carries (~100KB each at BWD_ROWS) — 20-bounce mcworld grads verified
+# in-kernel on v5e (tools/deep_bounce_smoke.py, the preflight gate).
+# The cap is a guard against unbounded checkpoint growth, not a VMEM
+# wall; deeper traces than this take the always-correct scan replay.
+BWD_KERNEL_MAX_BOUNCES = 48
 
 
 def _mkm_bwd(cfg, interpret, res, g):

@@ -1,43 +1,57 @@
-"""Backward megakernel for mesh scenes: in-kernel VJP of an index replay.
+"""Backward megakernel for mesh AND sphere scenes: in-kernel VJP of an
+index replay, windowed.
 
 Round 2 made mesh gradients *correct* by replaying the trace through the
 XLA scan path with the forward kernel's recorded winner indices — but the
 replay ran outside the kernel, re-gathering and re-shading through HBM at
 every bounce: pyramide fwd+bwd measured 9.2 Mrays/s against 766 M forward
 (an 83x gap; VERDICT r2 missing #1). This module moves the ENTIRE replay
-*inside* one Pallas kernel, structured like the sphere backward kernel
-(kernels/trace_spheres._bwd_kernel): the differentiable replay body runs
-under ``jax.vjp`` *inside* the kernel, so the reverse sweep is machine-
-derived from the same code that defines the replay and the whole
+*inside* one Pallas kernel: the differentiable replay body runs under
+``jax.vjp`` *inside* the kernel, so the reverse sweep is machine-derived
+from the same code that defines the replay and the whole
 fwd-residual-bwd round trip stays in VMEM.
 
 What makes the replay cheap: the expensive part of the forward — the
-chunk-culled search over all triangles (~40 VPU ops/triangle/bounce) —
-is SELECTION, which is stop_gradient'd in the scan path too. The replay
-never searches: each bounce's winner is reconstructed from the recorded
-index by ONE exact one-hot MXU contraction against the f32 triangle
-table (f32 ``jnp.dot`` inside Pallas lowers to full-precision MXU passes,
-so extraction equals the scan path's row-gather bit-for-bit), its
-distance is recomputed elementwise (triangle_distance_one /
-sphere_distance_one, op-for-op), and shading is the SAME ``shade_bounce``
-the forward kernel runs — so gradients match use_megakernel=False
-(tests/test_mesh_megakernel.py grad tests).
+chunk-culled search over all primitives (~40 VPU ops/triangle/bounce,
+plus the AO probe loops) — is SELECTION, which is stop_gradient'd in the
+scan path too. The replay never searches: each bounce's winner is
+reconstructed from the recorded index by ONE exact one-hot MXU
+contraction against the f32 primitive table (f32 ``jnp.dot`` inside
+Pallas lowers to full-precision MXU passes, so extraction equals the
+scan path's row-gather bit-for-bit) — triangles against the 25-channel
+triangle table, spheres against a 14-channel sphere table — its distance
+is recomputed elementwise (triangle_distance_one / sphere_distance_one,
+op-for-op), and shading is the SAME ``shade_bounce`` the forward kernel
+runs — so gradients match use_megakernel=False
+(tests/test_mesh_megakernel.py, tests/test_megakernel.py grad tests).
+Round 5 extends the same structure to SPHERE scenes (n_tris == 0
+statically compiles the triangle machinery away), replacing the old
+AD-of-the-search sphere backward: the flagship backward no longer pays
+the 10-sphere quadratic-solve AD chains or the AO probe loops at all —
+AO occlusion factors are recorded by the forward (piecewise-constant in
+every parameter, so a recorded constant is gradient-exact; see
+shade_bounce's docstring).
+
+Windowed reverse sweep (round 5, VERDICT r4 next #1): instead of one
+``jax.vjp`` over all bounces — which makes AD hold every bounce's
+residuals live at once and capped the kernel at 16 bounces of scoped
+VMEM — the kernel checkpoints the ~22-plane carry at window boundaries
+during a cheap forward sweep, then runs ``jax.vjp`` per W-bounce window
+in reverse, threading the carry cotangent between windows. Live
+residuals are bounded by W bounces + the checkpoints (a few KB/plane),
+so 19-20-bounce refraction-stack gradients now run in-kernel
+(tools/deep_bounce_smoke.py). Shallow traces (bounces <= window) take
+the single-window form, which is exactly the round-4 structure.
 
 Memory discipline: the large transients — the (EXT_CHUNK, rays)
 extraction one-hots and the (texrows, rays) fetch one-hot/mask — are
 kept out of AD's residual set by custom VJPs that recompute them from
 the saved integer planes during the reverse sweep
-(_extract_channels/_fetch_texels); without this they would be held as
-residuals for every bounce at once (~MBs/bounce) and overflow VMEM at
-depth. On the interpret-mode scan path each bounce is additionally
-``jax.checkpoint``'d; the unrolled Mosaic path cannot be (remat2 has no
-Mosaic lowering rule) and does not need to be.
-
-Parameter cotangents are accumulated across sequential grid steps:
-sphere/material tables as SMEM scalars (AD inserts the over-tile
-reductions), the triangle table and atlas as revisited VMEM blocks whose
-scatter IS the transposed one-hot contraction — an MXU matmul, not a
-serialized scatter-add.
+(_extract_channels/_fetch_texels). Parameter cotangents are accumulated
+across windows and sequential grid steps: material tables as SMEM
+scalars, the sphere table, triangle table and atlas as revisited VMEM
+blocks whose scatter IS the transposed one-hot contraction — an MXU
+matmul, not a serialized scatter-add.
 
 DRAW cotangents are not computed: with nearest-texel fetch (the only
 in-kernel mode) radiance/albedo are piecewise constant in every scattered
@@ -45,12 +59,18 @@ direction, and the normal AOV records only at bounces where
 ``i == alpha_depth`` — i.e. after i cutout pass-throughs, which never
 change the ray direction — so the camera ray is the only direction any
 AOV ever differentiates. d(bounce_draws) is therefore identically zero
-(same argument, and the same numerical verification, as
-trace_spheres._bwd_kernel).
+(verified numerically on diffuse/AO/refraction/cutout scenes).
+
+Measured dead end (r5, kept for the record): limbing the extraction /
+fetch tables into 3 bf16 MXU passes (the forward kernel's trick) made
+every fwd+bwd config 10-13% SLOWER here — the backward is not
+MXU-pass-bound, and the per-bounce limb splits plus three half-size
+dots cost more than the saved passes. The exact f32 dots stay.
 
 Reference anchor: the loop being differentiated is ``tracer``
-(/root/reference/main.c:118-242) over OBJ meshes (main.c:361-374); the
-reference has no gradients at all — this is the north-star capability.
+(/root/reference/main.c:118-242) over OBJ meshes (main.c:361-374) and
+sphere scenes (main.c:330-347); the reference has no gradients at all —
+this is the north-star capability.
 """
 
 from __future__ import annotations
@@ -60,6 +80,7 @@ import os as _os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -72,18 +93,50 @@ from raytpu.kernels.trace_scene import (
     EXT_CHUNK,
     pack_atlas_f32,
     pack_mats,
-    pack_sph,
     pack_tri25,
     shade_bounce,
 )
 
-# rays per backward grid step. AD keeps one rematerialized bounce's
-# intermediates plus every bounce's 22-plane carry live; 8 rows x 128
-# lanes matches the sphere backward kernel's measured sweet spot and
-# leaves VMEM headroom for the f32 tri table + atlas + their cotangent
-# accumulator blocks at the forward kernel's caps (2048 tris, 256-row
-# atlases).
-BWD_ROWS = 8
+# single-window depth bound: traces at or under this many bounces take
+# one jax.vjp over the whole replay (no extra forward sweep — the
+# round-4 structure) at the WIDE tile; deeper traces pay the windowed
+# sweep at the NARROW tile. Every BASELINE config (<= 6 bounces) stays
+# in the fast shallow regime.
+SINGLE_WINDOW_MAX = 8
+
+
+def _bwd_tile(bounces: int) -> tuple[int, int]:
+    """(rows per grid step, bounces per reverse window) by trace depth.
+
+    AD keeps one window's replay intermediates live (~1MB per bounce per
+    8 rows on mesh scenes), so rows x window is the scoped-VMEM knob.
+    Measured on v5e (r5):
+      * shallow (<= 8 bounces), single window: 16 rows beats 8 —
+        flagship spheres 557 vs 469 Mrays/s fwd+bwd, pyramide 304 vs
+        297; 32 rows loses again (545 flagship). 6-bounce mcworld at
+        16 rows compiles inside the limit.
+      * deep (19-20 bounces): (8 rows, window 4) fits with ~1MB spare
+        (tools/deep_bounce_smoke.py); (16, 8) overflows by 14.4MB and
+        (8, 8) by 5MB. The serialization fence in _bwd_kernel is what
+        makes the window bound REAL — without it Mosaic overlaps every
+        window's residual lifetime and W has no effect on allocation.
+    Env overrides are probe knobs.
+    """
+    rows_env = _os.environ.get("RAYTPU_BWD_ROWS")
+    win_env = _os.environ.get("RAYTPU_BWD_WINDOW")
+    if bounces <= SINGLE_WINDOW_MAX:
+        rows, window = 16, bounces
+    else:
+        rows, window = 8, 4
+    if rows_env:
+        rows = int(rows_env)
+    if win_env:
+        window = int(win_env)
+    return rows, window
+
+
+# compatibility export: the widest tile the module uses (shape helpers)
+BWD_ROWS = 16
 
 
 @jax.custom_vjp
@@ -93,9 +146,11 @@ def _extract_channels(tri_t: Array, sel_f: Array) -> Array:
     Exact: f32 ``jnp.dot`` inside Pallas lowers to full-precision MXU
     passes (the forward kernel's bf16-limb tricks exist to BUY BACK those
     passes; the backward runs once per tile, so it takes the exact dot
-    directly), and a one-hot contraction has a single nonzero term per
+    directly — limbing HERE was measured 10-13% slower, module
+    docstring), and a one-hot contraction has a single nonzero term per
     output — so this equals the scan path's row-gather bit-for-bit.
     Statically chunked so the transient one-hot stays (EXT_CHUNK, n).
+    Used for both the triangle table and (round 5) the sphere table.
 
     custom_vjp: the hand-written pullback recomputes the one-hot from
     ``sel_f`` (an f32-carried lane index; zero cotangent) and scatters
@@ -197,11 +252,12 @@ _fetch_texels.defvjp(_fetch_fwd, _fetch_bwd)
 
 
 def _replay_bounce(
-    sv, mv, tri_t, atlas_a, carry, i, bidx, u_d, v_d, roulette,
+    sphvm, mv, tri_t, atlas_a, carry, i, bidx, u_d, v_d, roulette, aof,
     *,
-    n_spheres, n_mats, has_atlas, atlas_w, atlas_h,
+    n_spheres, n_tris, n_mats, has_atlas, atlas_w, atlas_h,
     sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, hsl_l, hsl_s, sky_idx=-1,
+    use_ao=False, e_scale_mult=1.0,
 ):
     """One differentiable replay bounce: recorded winner -> extraction ->
     distance recompute -> texture/material resolve -> shade_bounce.
@@ -209,9 +265,21 @@ def _replay_bounce(
     (integrator.hit.closest_hit(best_idx=...) + integrator.path.bounce),
     which is the gradient-parity contract.
 
+    ``sphvm`` is the (16, S_pad) f32 sphere table (pack_sph_vm); winner
+    channels come from the same one-hot MXU extraction as triangles —
+    round 5 replaced the 14 x n_spheres select-chain, which dominated
+    sphere-scene replays. ``n_tris == 0`` statically compiles away the
+    whole triangle path (extraction, distance, barycentrics, texturing),
+    which is the sphere-megakernel backward's fast shape; likewise
+    ``n_spheres == 0`` drops the sphere machinery.
+
+    Ambient occlusion (use_ao): ``aof`` is the forward-recorded
+    occlusion factor plane, constant by construction (see module
+    docstring); ``e_scale_mult`` is the static emission compensation.
+
     Equirect sky (sky_idx >= 0): the carry grows 4 planes (sky-scale 3 +
     slot-taken flag) and the bounce replays the forward kernel's slot
-    bookkeeping — the scale skl = estr * pre-update-throughput is the
+    bookkeeping — the scale skl = e_scale * pre-update-throughput is the
     only sky quantity with a live cotangent (the unit-direction and
     early-flag outputs end in floor/compares outside), so the replay
     never recomputes the hit direction at all.
@@ -223,75 +291,82 @@ def _replay_bounce(
     f1 = jnp.ones_like(rox)
 
     did_hit = bidx >= 0
-    tri_wins = bidx >= n_spheres
-
-    # ---- winner channel extraction (one-hot MXU; exact) ----------------
-    # the lane index rides as f32 (values < 2^24, exact) so the custom
-    # pullback can hand back a plain zero cotangent for it
+    tri_wins = (bidx >= n_spheres) if n_tris > 0 else (f0 > 1.0)
     n = rox.shape[0] * LANE
-    sel_f = jnp.where(
-        tri_wins, bidx - n_spheres, -1
-    ).reshape(1, n).astype(jnp.float32)
-    wout = _extract_channels(tri_t, sel_f)
-    row = lambda j: wout[j : j + 1].reshape(rox.shape)
-    wax, way, waz = row(0), row(1), row(2)
-    wabx, waby, wabz = row(3), row(4), row(5)
-    wacx, wacy, wacz = row(6), row(7), row(8)
-    wnx, wny, wnz = row(9), row(10), row(11)
-    wbx, wby, wbz = row(12), row(13), row(14)
-    wcx, wcy, wcz = row(15), row(16), row(17)
-    wua, wva, wub = row(18), row(19), row(20)
-    wvb, wuc, wvc = row(21), row(22), row(23)
-    wmat = row(24)
 
-    # ---- triangle winner distance, recomputed differentiably
-    # (triangle_distance_one, geometry/triangle.py:94-116 op-for-op) ----
-    aox, aoy, aoz = rox - wax, roy - way, roz - waz
-    daox = aoy * rdz - aoz * rdy        # dao = cross(ao, direction)
-    daoy = aoz * rdx - aox * rdz
-    daoz = aox * rdy - aoy * rdx
-    det = -(rdx * wnx + rdy * wny + rdz * wnz)
-    inv_det = 1.0 / jnp.where(det >= det_eps, det, 1.0)
-    t_dst = (aox * wnx + aoy * wny + aoz * wnz) * inv_det
-    t_u = (wacx * daox + wacy * daoy + wacz * daoz) * inv_det
-    t_v = -(wabx * daox + waby * daoy + wabz * daoz) * inv_det
-    t_w = 1.0 - t_u - t_v
-    t_valid = (
-        (det >= det_eps) & (t_dst >= tri_eps)
-        & (t_u >= tri_eps) & (t_v >= tri_eps) & (t_w >= tri_eps)
-    )
-    t_t = jnp.where(t_valid, t_dst, BIG)
+    if n_tris > 0:
+        # ---- triangle winner extraction (one-hot MXU; exact) -----------
+        # the lane index rides as f32 (values < 2^24, exact) so the custom
+        # pullback can hand back a plain zero cotangent for it
+        sel_f = jnp.where(
+            tri_wins, bidx - n_spheres, -1
+        ).reshape(1, n).astype(jnp.float32)
+        wout = _extract_channels(tri_t, sel_f)
+        row = lambda j: wout[j : j + 1].reshape(rox.shape)
+        wax, way, waz = row(0), row(1), row(2)
+        wabx, waby, wabz = row(3), row(4), row(5)
+        wacx, wacy, wacz = row(6), row(7), row(8)
+        wnx, wny, wnz = row(9), row(10), row(11)
+        wbx, wby, wbz = row(12), row(13), row(14)
+        wcx, wcy, wcz = row(15), row(16), row(17)
+        wua, wva, wub = row(18), row(19), row(20)
+        wvb, wuc, wvc = row(21), row(22), row(23)
+        wmat = row(24)
 
-    # ---- sphere winner channels (select-chain over SMEM scalars) ------
-    ch = [f0] * 14
-    for s in range(n_spheres):
-        m = bidx == s
-        for k in range(14):
-            ch[k] = jnp.where(m, sv[k][s], ch[k])
-    (scx, scy, scz, sr, sdfx, sdfy, sdfz, semx, semy, semz,
-     sestr, srefl, salpha, sior) = ch
+        # ---- triangle winner distance, recomputed differentiably
+        # (triangle_distance_one, geometry/triangle.py:94-116 op-for-op)
+        aox, aoy, aoz = rox - wax, roy - way, roz - waz
+        daox = aoy * rdz - aoz * rdy        # dao = cross(ao, direction)
+        daoy = aoz * rdx - aox * rdz
+        daoz = aox * rdy - aoy * rdx
+        det = -(rdx * wnx + rdy * wny + rdz * wnz)
+        inv_det = 1.0 / jnp.where(det >= det_eps, det, 1.0)
+        t_dst = (aox * wnx + aoy * wny + aoz * wnz) * inv_det
+        t_u = (wacx * daox + wacy * daoy + wacz * daoz) * inv_det
+        t_v = -(wabx * daox + waby * daoy + wabz * daoz) * inv_det
+        t_w = 1.0 - t_u - t_v
+        t_valid = (
+            (det >= det_eps) & (t_dst >= tri_eps)
+            & (t_u >= tri_eps) & (t_v >= tri_eps) & (t_w >= tri_eps)
+        )
+        t_t = jnp.where(t_valid, t_dst, BIG)
 
-    # sphere_distance_one (geometry/sphere.py:60-81) op-for-op: the scan
-    # replay's grad-safe floors (1e-30 / 1e-20), NOT the forward search's
-    # 0.0 floor — the scan path is the parity target
-    ocx, ocy, ocz = rox - scx, roy - scy, roz - scz
-    a_q = rdx * rdx + rdy * rdy + rdz * rdz
-    b_q = 2.0 * (ocx * rdx + ocy * rdy + ocz * rdz)
-    c_q = ocx * ocx + ocy * ocy + ocz * ocz - sr * sr
-    disc = b_q * b_q - 4.0 * a_q * c_q
-    sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
-    # select-based floor, NOT jnp.maximum: padded lanes have d == 0 so
-    # a_q == 0 exactly, and maximum's VJP computes g * d(0.5/m)/dm =
-    # 0 * -inf = NaN there; where's VJP is a select, which cuts the chain
-    # with an exact 0. Forward value and winner-lane gradients identical.
-    inv_2a = 0.5 / jnp.where(a_q > 1e-20, a_q, 1e-20)
-    st1 = (-b_q - sq) * inv_2a
-    st2 = (-b_q + sq) * inv_2a
-    s_hit = disc > 0.0
-    s_t = jnp.where(
-        s_hit & (st1 >= sphere_eps), st1,
-        jnp.where(s_hit & (st2 >= sphere_eps), st2, BIG),
-    )
+    if n_spheres > 0:
+        # ---- sphere winner extraction (same one-hot MXU scheme) --------
+        ssel_f = jnp.where(
+            did_hit & ~tri_wins, bidx, -1
+        ).reshape(1, n).astype(jnp.float32)
+        sout = _extract_channels(sphvm, ssel_f)
+        srow = lambda j: sout[j : j + 1].reshape(rox.shape)
+        (scx, scy, scz, sr, sdfx, sdfy, sdfz, semx, semy, semz,
+         sestr, srefl, salpha, sior) = (srow(k) for k in range(14))
+
+        # sphere_distance_one (geometry/sphere.py:60-81) op-for-op: the
+        # scan replay's grad-safe floors (1e-30 / 1e-20), NOT the forward
+        # search's 0.0 floor — the scan path is the parity target
+        ocx, ocy, ocz = rox - scx, roy - scy, roz - scz
+        a_q = rdx * rdx + rdy * rdy + rdz * rdz
+        b_q = 2.0 * (ocx * rdx + ocy * rdy + ocz * rdz)
+        c_q = ocx * ocx + ocy * ocy + ocz * ocz - sr * sr
+        disc = b_q * b_q - 4.0 * a_q * c_q
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
+        # select-based floor, NOT jnp.maximum: padded lanes have d == 0 so
+        # a_q == 0 exactly, and maximum's VJP computes g * d(0.5/m)/dm =
+        # 0 * -inf = NaN there; where's VJP is a select, which cuts the
+        # chain with an exact 0. Forward value and winner-lane gradients
+        # identical.
+        inv_2a = 0.5 / jnp.where(a_q > 1e-20, a_q, 1e-20)
+        st1 = (-b_q - sq) * inv_2a
+        st2 = (-b_q + sq) * inv_2a
+        s_hit = disc > 0.0
+        s_t = jnp.where(
+            s_hit & (st1 >= sphere_eps), st1,
+            jnp.where(s_hit & (st2 >= sphere_eps), st2, BIG),
+        )
+    else:
+        (scx, scy, scz, sr, sdfx, sdfy, sdfz, semx, semy, semz,
+         sestr, srefl, salpha, sior) = (f0,) * 14
+        s_t = jnp.full(rox.shape, BIG, jnp.float32)
 
     # Knife-edge consistency guard: the recorded winner came from the
     # FORWARD kernel — a different compiled program whose FMA contraction
@@ -304,7 +379,7 @@ def _replay_bounce(
     # parameter cotangents into NaN under the zero cotangents that
     # masked lanes carry. Treating the disagreement as a miss matches
     # the scan replay, whose inf-dst + isfinite() gate self-protects.
-    dst_lane = jnp.where(tri_wins, t_t, s_t)
+    dst_lane = jnp.where(tri_wins, t_t, s_t) if n_tris > 0 else s_t
     did_hit = did_hit & (dst_lane < BIG)
     safe_t = jnp.where(did_hit, dst_lane, 0.0)
     px = rox + rdx * safe_t
@@ -312,110 +387,126 @@ def _replay_bounce(
     pz = roz + rdz * safe_t
 
     # ---- normals (forward kernel op-for-op) ----------------------------
-    n2s = (px - scx) ** 2 + (py - scy) ** 2 + (pz - scz) ** 2
-    # padded lanes (o = d = 0, winner channels = 0) make n2s == 0 exactly;
-    # see inv_2a for why the floor must be a select, not jnp.maximum
-    s_inv = jnp.where(
-        (n2s > 0) & did_hit & ~tri_wins,
-        1.0 / jnp.sqrt(jnp.where(n2s > 0, n2s, 1.0)), 0.0,
-    )
-    snX = (px - scx) * s_inv
-    snY = (py - scy) * s_inv
-    snZ = (pz - scz) * s_inv
-
-    # non-winner lanes extract an exact-zero normal (the one-hot is all
-    # zeros), so tn2 == 0 EXACTLY — unlike the scan path, whose gather
-    # always lands on a real triangle row. jnp.maximum(tn2, 1e-38) would
-    # NaN the whole d_tri normal rows here: its VJP multiplies the
-    # untaken branch's -inf derivative (d(1/sqrt)/dx at 1e-38 overflows
-    # f32) by the 0 mask, and the extraction transpose's matmul then
-    # smears that NaN across every triangle. The select-based floor cuts
-    # the chain with an exact 0; winner lanes (tn2 >> 1e-38) are
-    # bit-identical in both value and gradient.
-    tn2 = wnx * wnx + wny * wny + wnz * wnz
-    t_inv = jnp.where(tn2 > 0, 1.0 / jnp.sqrt(jnp.where(tn2 > 0, tn2, 1.0)), 0.0)
-    tnX, tnY, tnZ = wnx * t_inv, wny * t_inv, wnz * t_inv
-
-    # ---- barycentric UVs (texture.h:16-63 / forward kernel) ------------
-    def area(px1, py1, pz1, qx, qy, qz):
-        cxx = py1 * qz - pz1 * qy
-        cyy = pz1 * qx - px1 * qz
-        czz = px1 * qy - py1 * qx
-        return tnX * cxx + tnY * cyy + tnZ * czz
-
-    area_abc = area(wbx - wax, wby - way, wbz - waz,
-                    wcx - wax, wcy - way, wcz - waz)
-    area_pbc = area(wbx - px, wby - py, wbz - pz,
-                    wcx - px, wcy - py, wcz - pz)
-    area_pca = area(wcx - px, wcy - py, wcz - pz,
-                    wax - px, way - py, waz - pz)
-    inv_area = 1.0 / jnp.where(jnp.abs(area_abc) > 1e-20, area_abc, 1.0)
-    w_a = area_pbc * inv_area
-    w_b = area_pca * inv_area
-    w_c = 1.0 - w_a - w_b
-
-    def wrap(u):
-        u = u - jnp.trunc(u)
-        return jnp.where(u < 0.0, u + 1.0, u)
-
-    uu = wrap(w_a * wua + w_b * wub + w_c * wuc)
-    vv = wrap(w_a * wva + w_b * wvb + w_c * wvc)
-
-    if has_atlas:
-        # nearest-texel one-hot fetch over the f32 atlas operand (exact;
-        # see _extract_channels); custom-vjp'd so the one-hot/mask
-        # transients are never residuals (_fetch_texels docstring)
-        tex_x = jnp.clip(
-            jnp.floor(uu * atlas_w).astype(jnp.int32), 0, atlas_w - 1
+    if n_spheres > 0:
+        n2s = (px - scx) ** 2 + (py - scy) ** 2 + (pz - scz) ** 2
+        # padded lanes (o = d = 0, winner channels = 0) make n2s == 0
+        # exactly; see inv_2a for why the floor must be a select
+        s_inv = jnp.where(
+            (n2s > 0) & did_hit & ~tri_wins,
+            1.0 / jnp.sqrt(jnp.where(n2s > 0, n2s, 1.0)), 0.0,
         )
-        tex_y = jnp.clip(
-            jnp.floor(vv * atlas_h).astype(jnp.int32), 0, atlas_h - 1
-        )
-        mat_i = wmat.astype(jnp.int32)
-        texrow_f = jnp.where(
-            active & tri_wins, tex_y + atlas_h * mat_i, -1
-        ).reshape(1, n).astype(jnp.float32)
-        flat_x_f = tex_x.reshape(1, n).astype(jnp.float32)
-        chan4 = _fetch_texels(atlas_a, texrow_f, flat_x_f, atlas_w)
-        trgb_x, trgb_y, trgb_z, t_alpha_tex = (
-            chan4[c : c + 1].reshape(rox.shape) for c in range(4)
-        )
+        snX = (px - scx) * s_inv
+        snY = (py - scy) * s_inv
+        snZ = (pz - scz) * s_inv
     else:
-        trgb_x = jnp.full(rox.shape, 0.784, jnp.float32)
-        trgb_y = jnp.full(rox.shape, 0.965, jnp.float32)
-        trgb_z = f1
-        t_alpha_tex = f1
+        snX = snY = snZ = f0
 
-    # ---- material table (texture.h:71-88 as data) ----------------------
-    mt = [f0] * 9
-    for mslot in range(n_mats):
-        m = tri_wins & (wmat == jnp.float32(mslot))
-        for k in range(9):
-            mt[k] = jnp.where(m, mv[k][mslot], mt[k])
-    (temx, temy, temz, testr, trefl, tior, t_ac, t_uc, t_eft) = mt
-    temx = jnp.where(t_eft > 0.0, temx * trgb_x, temx)
-    temy = jnp.where(t_eft > 0.0, temy * trgb_y, temy)
-    temz = jnp.where(t_eft > 0.0, temz * trgb_z, temz)
-    t_alpha = jnp.where(t_uc > 0.0, t_ac, t_alpha_tex)
+    if n_tris > 0:
+        # non-winner lanes extract an exact-zero normal (the one-hot is
+        # all zeros), so tn2 == 0 EXACTLY — unlike the scan path, whose
+        # gather always lands on a real triangle row. jnp.maximum(tn2,
+        # 1e-38) would NaN the whole d_tri normal rows here: its VJP
+        # multiplies the untaken branch's -inf derivative (d(1/sqrt)/dx
+        # at 1e-38 overflows f32) by the 0 mask, and the extraction
+        # transpose's matmul then smears that NaN across every triangle.
+        # The select-based floor cuts the chain with an exact 0; winner
+        # lanes (tn2 >> 1e-38) are bit-identical in value and gradient.
+        tn2 = wnx * wnx + wny * wny + wnz * wnz
+        t_inv = jnp.where(
+            tn2 > 0, 1.0 / jnp.sqrt(jnp.where(tn2 > 0, tn2, 1.0)), 0.0
+        )
+        tnX, tnY, tnZ = wnx * t_inv, wny * t_inv, wnz * t_inv
 
-    # ---- merge winner material + normal --------------------------------
-    tsel = lambda t, s: jnp.where(tri_wins, t, s)
-    dfx, dfy, dfz = tsel(trgb_x, sdfx), tsel(trgb_y, sdfy), tsel(trgb_z, sdfz)
-    emx, emy, emz = tsel(temx, semx), tsel(temy, semy), tsel(temz, semz)
-    estr = tsel(testr, sestr)
-    refl = tsel(trefl, srefl)
-    alpha = tsel(t_alpha, salpha)
-    ior = tsel(tior, sior)
-    nX, nY, nZ = tsel(tnX, snX), tsel(tnY, snY), tsel(tnZ, snZ)
+        # ---- barycentric UVs (texture.h:16-63 / forward kernel) --------
+        def area(px1, py1, pz1, qx, qy, qz):
+            cxx = py1 * qz - pz1 * qy
+            cyy = pz1 * qx - px1 * qz
+            czz = px1 * qy - py1 * qx
+            return tnX * cxx + tnY * cyy + tnZ * czz
 
+        area_abc = area(wbx - wax, wby - way, wbz - waz,
+                        wcx - wax, wcy - way, wcz - waz)
+        area_pbc = area(wbx - px, wby - py, wbz - pz,
+                        wcx - px, wcy - py, wcz - pz)
+        area_pca = area(wcx - px, wcy - py, wcz - pz,
+                        wax - px, way - py, waz - pz)
+        inv_area = 1.0 / jnp.where(jnp.abs(area_abc) > 1e-20, area_abc, 1.0)
+        w_a = area_pbc * inv_area
+        w_b = area_pca * inv_area
+        w_c = 1.0 - w_a - w_b
+
+        def wrap(u):
+            u = u - jnp.trunc(u)
+            return jnp.where(u < 0.0, u + 1.0, u)
+
+        uu = wrap(w_a * wua + w_b * wub + w_c * wuc)
+        vv = wrap(w_a * wva + w_b * wvb + w_c * wvc)
+
+        if has_atlas:
+            # nearest-texel one-hot fetch over the f32 atlas operand
+            # (exact; see _extract_channels); custom-vjp'd so the
+            # one-hot/mask transients are never residuals
+            tex_x = jnp.clip(
+                jnp.floor(uu * atlas_w).astype(jnp.int32), 0, atlas_w - 1
+            )
+            tex_y = jnp.clip(
+                jnp.floor(vv * atlas_h).astype(jnp.int32), 0, atlas_h - 1
+            )
+            mat_i = wmat.astype(jnp.int32)
+            texrow_f = jnp.where(
+                active & tri_wins, tex_y + atlas_h * mat_i, -1
+            ).reshape(1, n).astype(jnp.float32)
+            flat_x_f = tex_x.reshape(1, n).astype(jnp.float32)
+            chan4 = _fetch_texels(atlas_a, texrow_f, flat_x_f, atlas_w)
+            trgb_x, trgb_y, trgb_z, t_alpha_tex = (
+                chan4[c : c + 1].reshape(rox.shape) for c in range(4)
+            )
+        else:
+            trgb_x = jnp.full(rox.shape, 0.784, jnp.float32)
+            trgb_y = jnp.full(rox.shape, 0.965, jnp.float32)
+            trgb_z = f1
+            t_alpha_tex = f1
+
+        # ---- material table (texture.h:71-88 as data) ------------------
+        mt = [f0] * 9
+        for mslot in range(n_mats):
+            m = tri_wins & (wmat == jnp.float32(mslot))
+            for k in range(9):
+                mt[k] = jnp.where(m, mv[k][mslot], mt[k])
+        (temx, temy, temz, testr, trefl, tior, t_ac, t_uc, t_eft) = mt
+        temx = jnp.where(t_eft > 0.0, temx * trgb_x, temx)
+        temy = jnp.where(t_eft > 0.0, temy * trgb_y, temy)
+        temz = jnp.where(t_eft > 0.0, temz * trgb_z, temz)
+        t_alpha = jnp.where(t_uc > 0.0, t_ac, t_alpha_tex)
+
+        # ---- merge winner material + normal ----------------------------
+        tsel = lambda t, s: jnp.where(tri_wins, t, s)
+        dfx, dfy, dfz = (
+            tsel(trgb_x, sdfx), tsel(trgb_y, sdfy), tsel(trgb_z, sdfz)
+        )
+        emx, emy, emz = tsel(temx, semx), tsel(temy, semy), tsel(temz, semz)
+        estr = tsel(testr, sestr)
+        refl = tsel(trefl, srefl)
+        alpha = tsel(t_alpha, salpha)
+        ior = tsel(tior, sior)
+        nX, nY, nZ = tsel(tnX, snX), tsel(tnY, snY), tsel(tnZ, snZ)
+    else:
+        dfx, dfy, dfz = sdfx, sdfy, sdfz
+        emx, emy, emz = semx, semy, semz
+        estr, refl, alpha, ior = sestr, srefl, salpha, sior
+        nX, nY, nZ = snX, snY, snZ
+
+    shade_kw = dict(
+        alpha_lo=alpha_lo, alpha_hi=alpha_hi,
+        bright_boost=bright_boost, bright_threshold=bright_threshold,
+        hsl_l=hsl_l, hsl_s=hsl_s,
+        e_scale_mult=e_scale_mult, ao_factor=aof if use_ao else None,
+    )
     if sky_idx < 0:
         return shade_bounce(
             i, carry, did_hit, px, py, pz, nX, nY, nZ,
             dfx, dfy, dfz, emx, emy, emz, estr, refl, alpha, ior,
-            u_d, v_d, roulette,
-            alpha_lo=alpha_lo, alpha_hi=alpha_hi,
-            bright_boost=bright_boost, bright_threshold=bright_threshold,
-            hsl_l=hsl_l, hsl_s=hsl_s,
+            u_d, v_d, roulette, **shade_kw,
         )
 
     # ---- sky slot replay (forward kernel's bookkeeping, minus the
@@ -429,150 +520,240 @@ def _replay_bounce(
     new_carry, emissive_ret, accum = shade_bounce(
         i, carry[:22], did_hit, px, py, pz, nX, nY, nZ,
         dfx, dfy, dfz, emx, emy, emz, estr, refl, alpha, ior,
-        u_d, v_d, roulette,
-        alpha_lo=alpha_lo, alpha_hi=alpha_hi,
-        bright_boost=bright_boost, bright_threshold=bright_threshold,
-        hsl_l=hsl_l, hsl_s=hsl_s, with_masks=True,
+        u_d, v_d, roulette, with_masks=True, **shade_kw,
     )
     take_e = emissive_ret & sky_win & (slot_f == 0.0)
     take_a = accum & sky_win & (slot_f == 0.0)
-    sklx = jnp.where(take_e, f1, jnp.where(take_a, estr * rcx, sklx))
-    skly = jnp.where(take_e, f1, jnp.where(take_a, estr * rcy, skly))
-    sklz = jnp.where(take_e, f1, jnp.where(take_a, estr * rcz, sklz))
+    e_scale = estr if e_scale_mult == 1.0 else estr * e_scale_mult
+    sklx = jnp.where(take_e, f1, jnp.where(take_a, e_scale * rcx, sklx))
+    skly = jnp.where(take_e, f1, jnp.where(take_a, e_scale * rcy, skly))
+    sklz = jnp.where(take_e, f1, jnp.where(take_a, e_scale * rcz, sklz))
     slot_f = jnp.where(take_e | take_a, f1, slot_f)
     return new_carry + (sklx, skly, sklz, slot_f)
 
 
-def _replay_all(
-    sv, mv, tri_t, atlas_a,
-    rox, roy, roz, rdx, rdy, rdz,
-    draws, idxs,
-    *, bounces, n_draws, unroll, **statics,
-):
-    """The full replayed bounce loop as a PURE function of traced values —
-    what the backward kernel calls ``jax.vjp`` on.
-
-    TWO structures for the same per-bounce ops (bit-identical values):
-
-    * ``unroll=True`` — static Python loop, used when lowering through
-      Mosaic (real TPU). Required there: reverse-mode AD of a
-      ``lax.scan`` stacks per-iteration residuals as extensive scan
-      outputs, and Mosaic's scan lowering rejects extensive operands
-      (pallas/mosaic/lowering.py ``if num_extensive: raise``) — so a
-      scan-under-vjp can NEVER lower in-kernel. The unrolled form is
-      what the sphere backward kernel uses too; Mosaic compiles it in
-      tens of seconds even at 19 bounces (tools/probe_deep_bounce.py).
-    * ``unroll=False`` — ``lax.scan`` over bounces, used in interpret
-      mode (the CPU test harness), where the kernel body IS traced as
-      XLA ops: there the scan keeps ONE bounce body in the jaxpr, which
-      matters because XLA:CPU's compile time on the unrolled vjp jaxpr
-      is superlinear (tens of minutes at 5 bounces under the
-      8-virtual-device harness).
-
-    Either way the body is jax.checkpoint'd so AD's per-bounce residuals
-    hold only the 22-plane carry (+ the index/draw planes); the
-    extraction one-hots are rematerialized during the reverse sweep
-    instead of being stacked across bounces (which would overflow VMEM
-    at depth).
-    """
+def _carry0(rox, roy, roz, rdx, rdy, rdz, sky_on: bool):
     f0 = jnp.zeros_like(rox)
     f1 = jnp.ones_like(rox)
     i0 = jnp.zeros(rox.shape, jnp.int32)
-    carry0 = (
+    carry = (
         rox, roy, roz, rdx, rdy, rdz,
         f1, f1, f1,
         f0, f0, f0,
         f0, f0, f0, f0, f0, f0,
         f1, f0, i0, f1,
     )
-    sky_on = statics.get("sky_idx", -1) >= 0
     if sky_on:
-        carry0 = carry0 + (f0, f0, f0, f0)   # skl3, slot flag
+        carry = carry + (f0, f0, f0, f0)   # skl3, slot flag
+    return carry
 
-    def outs(carry):
-        # (incoming, albedo AOV, normal AOV) x 3 (+ sky scale x 3)
-        return (
-            carry[9:18] + carry[22:25] if sky_on else carry[9:18]
-        )
-    # jax.checkpoint (remat2) has no Mosaic lowering rule; on the
-    # unrolled hardware path the big transients are kept out of the
-    # residual set by the custom VJPs (_extract_channels/_fetch_texels)
-    # instead, so what AD saves per bounce is only (BWD_ROWS, LANE)
-    # elementwise planes — the same residual profile the sphere backward
-    # kernel carries to depth 19.
-    bounce_fn = functools.partial(_replay_bounce, **statics)
-    if not unroll:
-        bounce_fn = jax.checkpoint(bounce_fn)
 
-    if unroll:
-        carry = carry0
-        for i in range(bounces):
-            carry = bounce_fn(
-                sv, mv, tri_t, atlas_a, carry, jnp.int32(i), idxs[i],
-                draws[n_draws * i + 0], draws[n_draws * i + 1],
-                draws[n_draws * i + 2],
-            )
-        return outs(carry)
+def _outs(carry, sky_on: bool):
+    # (incoming, albedo AOV, normal AOV) x 3 (+ sky scale x 3)
+    return carry[9:18] + carry[22:25] if sky_on else carry[9:18]
 
-    # xs: per-bounce recorded indices + the 3 draw planes, stacked
+
+def _replay_all(
+    sphvm, mv, tri_t, atlas_a,
+    rox, roy, roz, rdx, rdy, rdz,
+    draws, idxs, aofs,
+    *, bounces, n_draws, **statics,
+):
+    """The full replayed bounce loop as a PURE function of traced values —
+    the single-``jax.vjp`` form, structured as a ``lax.scan`` over
+    bounces with a ``jax.checkpoint``'d body. Used in INTERPRET mode
+    (the CPU test harness), where the kernel body is traced as XLA ops:
+    the scan keeps ONE bounce body in the jaxpr, which matters because
+    XLA:CPU's compile time on an unrolled vjp jaxpr is superlinear (tens
+    of minutes at 5 bounces under the 8-virtual-device harness). The
+    hardware path takes the windowed unrolled sweep in ``_bwd_kernel``
+    instead: reverse-mode AD of a ``lax.scan`` stacks per-iteration
+    residuals as extensive scan outputs, and Mosaic's scan lowering
+    rejects extensive operands — a scan-under-vjp can NEVER lower
+    in-kernel. Both structures apply bit-identical per-bounce ops.
+    """
+    sky_on = statics.get("sky_idx", -1) >= 0
+    carry0 = _carry0(rox, roy, roz, rdx, rdy, rdz, sky_on)
+    bounce_fn = jax.checkpoint(functools.partial(_replay_bounce, **statics))
+
     idx_arr = jnp.stack(idxs)                                 # (BN, R, L)
     u_arr = jnp.stack([draws[n_draws * i + 0] for i in range(bounces)])
     v_arr = jnp.stack([draws[n_draws * i + 1] for i in range(bounces)])
     r_arr = jnp.stack([draws[n_draws * i + 2] for i in range(bounces)])
+    aof_arr = (
+        jnp.stack(aofs) if aofs is not None
+        else jnp.zeros((bounces,) + rox.shape, jnp.float32)
+    )
     steps = jnp.arange(bounces, dtype=jnp.int32)
 
     def body(carry, xs):
-        i, bidx, u_d, v_d, roulette = xs
+        i, bidx, u_d, v_d, roulette, aof = xs
         return (
-            bounce_fn(sv, mv, tri_t, atlas_a, carry, i, bidx, u_d, v_d,
-                      roulette),
+            bounce_fn(sphvm, mv, tri_t, atlas_a, carry, i, bidx, u_d, v_d,
+                      roulette, aof),
             None,
         )
 
-    final, _ = jax.lax.scan(body, carry0, (steps, idx_arr, u_arr, v_arr, r_arr))
-    return outs(final)
+    final, _ = jax.lax.scan(
+        body, carry0, (steps, idx_arr, u_arr, v_arr, r_arr, aof_arr)
+    )
+    return _outs(final, sky_on)
+
+
+def _zero_carry_cotangent(carry):
+    """A cotangent pytree for a replay carry: f32 zeros for float planes,
+    float0 zeros for the i32 alpha_depth plane (what jax.vjp hands back
+    and expects for integer residue)."""
+    return tuple(
+        np.zeros(jnp.shape(c), jax.dtypes.float0)
+        if not jnp.issubdtype(jnp.result_type(c), jnp.inexact)
+        else jnp.zeros_like(c)
+        for c in carry
+    )
 
 
 def _bwd_kernel(
-    sph_ref,      # SMEM (14, S_pad)
+    sph_ref,      # VMEM (16, S_pad) f32: pack_sph_vm rows (14..15 zero)
     mat_ref,      # SMEM (9, M_pad)
     tri_ref,      # VMEM (32, T_pad) f32: pack_tri25 rows (25..31 zero)
     atlas_ref,    # VMEM (w4_pad, r_pad) f32: pack_atlas_f32
-    ox, oy, oz, dx, dy, dz,            # VMEM (BWD_ROWS, LANE) ray tiles
-    draws_ref,                          # VMEM (BN*3, BWD_ROWS, LANE)
-    idx_ref,                            # VMEM (BN, BWD_ROWS, LANE) i32
-    *rest,        # g cotangent tiles (9 base, +3 sky-scale when the
-                  # scene has a sky), then the outputs: d_sph SMEM
-                  # accumulator, d_mat, d_tri, d_atlas, 6 ray cotangents
-    n_spheres, n_mats, bounces, n_draws, unroll, **statics,
+    ox, oy, oz, dx, dy, dz,            # VMEM (bwd_rows, LANE) ray tiles
+    draws_ref,                          # VMEM (BN*3, bwd_rows, LANE)
+    idx_ref,                            # VMEM (BN, bwd_rows, LANE) i32
+    *rest,        # when use_ao: aof_ref (BN, bwd_rows, LANE) f32; then g
+                  # cotangent tiles (9 base, +3 sky-scale when the scene
+                  # has a sky), then the outputs: d_sph VMEM accumulator,
+                  # d_mat SMEM, d_tri, d_atlas, 6 ray cotangents
+    n_spheres, n_tris, n_mats, bounces, n_draws, unroll, use_ao,
+    window, **statics,
 ):
+    """Windowed in-kernel reverse sweep (module docstring): a cheap
+    forward checkpoint sweep saves the carry at window-bounce
+    boundaries, then each window is differentiated independently in
+    reverse order with the carry cotangent threaded between windows.
+    AD's live residual set is bounded by one window regardless of trace
+    depth — the structure that removed the round-4 16-bounce scoped-VMEM
+    ceiling. One window (bounces <= window) skips the forward sweep
+    entirely and is exactly the round-4 single-vjp form.
+
+    In interpret mode (unroll=False) the single-vjp lax.scan form runs
+    instead (_replay_all — see its docstring for why the structures must
+    differ per backend; values are bit-identical either way).
+    """
+    if use_ao:
+        aof_ref, rest = rest[0], rest[1:]
     n_g = 12 if statics.get("sky_idx", -1) >= 0 else 9
     g_refs = rest[:n_g]
     (d_sph, d_mat, d_tri, d_atlas,
      d_ox, d_oy, d_oz, d_dx, d_dy, d_dz) = rest[n_g:]
-    sv = tuple(
-        tuple(sph_ref[k, s] for s in range(n_spheres)) for k in range(14)
-    )
+    sphvm = sph_ref[:]
     mv = tuple(
         tuple(mat_ref[k, m] for m in range(n_mats)) for k in range(9)
     )
     draws = [draws_ref[j] for j in range(bounces * n_draws)]
     idxs = [idx_ref[j] for j in range(bounces)]
-
-    def f(sv, mv, tri_t, atlas_a, rox, roy, roz, rdx, rdy, rdz):
-        return _replay_all(
-            sv, mv, tri_t, atlas_a, rox, roy, roz, rdx, rdy, rdz,
-            draws, idxs, bounces=bounces, n_draws=n_draws,
-            n_spheres=n_spheres, n_mats=n_mats, unroll=unroll, **statics,
-        )
-
-    _, vjp_fn = jax.vjp(
-        f, sv, mv, tri_ref[:], atlas_ref[:],
-        ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
+    aofs = [aof_ref[j] for j in range(bounces)] if use_ao else None
+    tri_t = tri_ref[:]
+    atlas_a = atlas_ref[:]
+    sky_on = statics.get("sky_idx", -1) >= 0
+    bounce_kw = dict(
+        n_spheres=n_spheres, n_tris=n_tris, n_mats=n_mats,
+        use_ao=use_ao, **statics,
     )
-    g = tuple(r[:] for r in g_refs)
-    (dsv, dmv, dtri, datlas,
-     gox, goy, goz, gdx, gdy, gdz) = vjp_fn(g)
+
+    if not unroll:
+        def f(sphvm, mv, tri_t, atlas_a, rox, roy, roz, rdx, rdy, rdz):
+            return _replay_all(
+                sphvm, mv, tri_t, atlas_a, rox, roy, roz, rdx, rdy, rdz,
+                draws, idxs, aofs, bounces=bounces, n_draws=n_draws,
+                **bounce_kw,
+            )
+
+        _, vjp_fn = jax.vjp(
+            f, sphvm, mv, tri_t, atlas_a,
+            ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
+        )
+        g = tuple(r[:] for r in g_refs)
+        (dsph, dmv, dtri, datlas,
+         gox, goy, goz, gdx, gdy, gdz) = vjp_fn(g)
+    else:
+        # ---- windowed unrolled sweep (the hardware path) ---------------
+        def win_fn(lo, hi):
+            def f(sphvm, mv, tri_t, atlas_a, carry):
+                for i in range(lo, hi):
+                    carry = _replay_bounce(
+                        sphvm, mv, tri_t, atlas_a, carry, i, idxs[i],
+                        draws[n_draws * i + 0], draws[n_draws * i + 1],
+                        draws[n_draws * i + 2],
+                        aofs[i] if use_ao else None,
+                        **bounce_kw,
+                    )
+                return carry
+            return f
+
+        window = min(window, bounces)
+        bounds = list(range(0, bounces, window)) + [bounces]
+        n_w = len(bounds) - 1
+        carry = _carry0(ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], sky_on)
+        ckpts = [carry]
+        for w in range(n_w - 1):   # the last window's end state is unused
+            carry = win_fn(bounds[w], bounds[w + 1])(
+                sphvm, mv, tri_t, atlas_a, carry
+            )
+            ckpts.append(carry)
+
+        # inject the output cotangents into the final carry cotangent:
+        # _outs is a pure projection (planes 9..17, + 22..24 with sky)
+        d_carry = list(_zero_carry_cotangent(ckpts[0]))
+        g = [r[:] for r in g_refs]
+        for j in range(9):
+            d_carry[9 + j] = g[j]
+        if sky_on:
+            for j in range(3):
+                d_carry[22 + j] = g[9 + j]
+
+        dsph = jnp.zeros_like(sphvm)
+        dmv = tuple(tuple(0.0 for _ in range(n_mats)) for _ in range(9))
+        dtri = jnp.zeros_like(tri_t)
+        datlas = jnp.zeros_like(atlas_a)
+        for w in reversed(range(n_w)):
+            if w < n_w - 1:
+                # serialization fence: window w's forward replay must be
+                # SCHEDULED after window w+1's reverse sweep, or Mosaic
+                # overlaps every window's residual lifetime and the
+                # scoped-VMEM bound windowing exists for evaporates
+                # (measured: W=4 and W=8 allocate identically without
+                # this). ``dep`` is exactly +0.0 for any finite or
+                # infinite cotangent (min(|x|, 0)), and ``c - dep``
+                # preserves every f32 value INCLUDING -0.0 (IEEE:
+                # x - (+0.0) == x), so the fence is value-free — it only
+                # makes the checkpoint data-depend on the later window's
+                # backward output.
+                dep = jnp.minimum(jnp.abs(d_carry[9]), 0.0)
+                ck = tuple(
+                    c if not jnp.issubdtype(
+                        jnp.result_type(c), jnp.inexact
+                    ) else c - dep
+                    for c in ckpts[w]
+                )
+            else:
+                ck = ckpts[w]
+            _, vjp_fn = jax.vjp(
+                win_fn(bounds[w], bounds[w + 1]),
+                sphvm, mv, tri_t, atlas_a, ck,
+            )
+            dsph_w, dmv_w, dtri_w, datlas_w, d_carry_in = vjp_fn(
+                tuple(d_carry)
+            )
+            dsph = dsph + dsph_w
+            dtri = dtri + dtri_w
+            datlas = datlas + datlas_w
+            dmv = tuple(
+                tuple(dmv[k][m] + dmv_w[k][m] for m in range(n_mats))
+                for k in range(9)
+            )
+            d_carry = list(d_carry_in)
+        gox, goy, goz, gdx, gdy, gdz = d_carry[:6]
 
     d_ox[:] = gox
     d_oy[:] = goy
@@ -582,13 +763,10 @@ def _bwd_kernel(
     d_dz[:] = gdz
 
     # sequential TPU grid steps make every += below race-free; pad slots
-    # of d_sph/d_mat are never written (the host-side packing vjp slices
-    # them off before they could be read)
+    # of d_mat are never written (the host-side packing vjp slices them
+    # off before they could be read)
     first = pl.program_id(0) == 0
-    for k in range(14):
-        for s in range(n_spheres):
-            prev = jnp.where(first, 0.0, d_sph[k, s])
-            d_sph[k, s] = prev + dsv[k][s]
+    d_sph[:] = jnp.where(first, jnp.zeros_like(dsph), d_sph[:]) + dsph
     for k in range(9):
         for mi in range(n_mats):
             prev = jnp.where(first, 0.0, d_mat[k, mi])
@@ -602,36 +780,37 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_spheres", "n_mats", "has_atlas", "atlas_w", "atlas_h",
+        "n_spheres", "n_tris", "n_mats", "has_atlas", "atlas_w", "atlas_h",
         "bounces", "sphere_eps", "det_eps", "tri_eps", "alpha_lo",
         "alpha_hi", "bright_boost", "bright_threshold", "n_draws",
-        "hsl_l", "hsl_s", "sky_idx", "interpret",
+        "hsl_l", "hsl_s", "sky_idx", "use_ao", "e_scale_mult",
+        "bwd_rows", "window", "interpret",
     ),
 )
 def _bwd_call(
-    sph, mats, tri32, atlas_a, ox, oy, oz, dx, dy, dz, draws, idx, g9,
-    *, n_spheres, n_mats, has_atlas, atlas_w, atlas_h, bounces,
+    sph, mats, tri32, atlas_a, ox, oy, oz, dx, dy, dz, draws, idx, aof, g9,
+    *, n_spheres, n_tris, n_mats, has_atlas, atlas_w, atlas_h, bounces,
     sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi, bright_boost,
-    bright_threshold, n_draws, hsl_l, hsl_s, sky_idx, interpret,
+    bright_threshold, n_draws, hsl_l, hsl_s, sky_idx, use_ao,
+    e_scale_mult, bwd_rows, window, interpret,
 ):
     # Mosaic cannot lower scan-under-vjp (extensive residual outputs);
     # XLA backends (interpret mode) cannot afford the unrolled vjp jaxpr.
-    # _replay_all docstring has the full story. The env var forces one
-    # structure for debugging (e.g. unrolled-under-interpret isolates
-    # Mosaic-lowering effects from replay-structure effects).
+    # _replay_all / _bwd_kernel docstrings have the full story. The env
+    # var forces one structure for debugging.
     force = _os.environ.get("RAYTPU_MESH_BWD_UNROLL")
     unroll = (force == "1") if force else not interpret
     rows = ox.shape[0]
-    grid = (rows // BWD_ROWS,)
+    grid = (rows // bwd_rows,)
     ray_spec = pl.BlockSpec(
-        (BWD_ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (bwd_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     draws_spec = pl.BlockSpec(
-        (draws.shape[0], BWD_ROWS, LANE), lambda i: (0, i, 0),
+        (draws.shape[0], bwd_rows, LANE), lambda i: (0, i, 0),
         memory_space=pltpu.VMEM,
     )
     idx_spec = pl.BlockSpec(
-        (bounces, BWD_ROWS, LANE), lambda i: (0, i, 0),
+        (bounces, bwd_rows, LANE), lambda i: (0, i, 0),
         memory_space=pltpu.VMEM,
     )
     whole = lambda a: pl.BlockSpec(
@@ -642,27 +821,32 @@ def _bwd_call(
     )
     kernel = functools.partial(
         _bwd_kernel,
-        n_spheres=n_spheres, n_mats=n_mats, has_atlas=has_atlas,
+        n_spheres=n_spheres, n_tris=n_tris, n_mats=n_mats,
+        has_atlas=has_atlas,
         atlas_w=atlas_w, atlas_h=atlas_h, bounces=bounces,
         sphere_eps=sphere_eps, det_eps=det_eps, tri_eps=tri_eps,
         alpha_lo=alpha_lo, alpha_hi=alpha_hi, bright_boost=bright_boost,
         bright_threshold=bright_threshold, n_draws=n_draws,
         hsl_l=hsl_l, hsl_s=hsl_s, sky_idx=sky_idx, unroll=unroll,
+        use_ao=use_ao, e_scale_mult=e_scale_mult, window=window,
     )
+    aof_ops = [aof] if use_ao else []
+    aof_specs = [idx_spec] if use_ao else []
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # sph
+            whole(sph),                              # sphere table (VMEM)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # mats
             whole(tri32),
             whole(atlas_a),
         ]
         + [ray_spec] * 6
         + [draws_spec, idx_spec]
+        + aof_specs
         + [ray_spec] * len(g9),
         out_specs=[
-            smem_whole(sph), smem_whole(mats), whole(tri32), whole(atlas_a),
+            whole(sph), smem_whole(mats), whole(tri32), whole(atlas_a),
         ]
         + [ray_spec] * 6,
         out_shape=[
@@ -673,8 +857,22 @@ def _bwd_call(
         ]
         + [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 6,
         interpret=interpret,
-    )(sph, mats, tri32, atlas_a, ox, oy, oz, dx, dy, dz, draws, idx, *g9)
+    )(sph, mats, tri32, atlas_a, ox, oy, oz, dx, dy, dz, draws, idx,
+      *aof_ops, *g9)
     return out
+
+
+def pack_sph_vm(scene: Scene) -> Array:
+    """(16, S_pad) f32 sphere table for the one-hot MXU winner
+    extraction: rows cx cy cz r | dif3 emi3 estr refl alpha ior (14 used,
+    2 zero); lanes padded to a multiple of EXT_CHUNK. The VMEM twin of
+    trace_scene.pack_sph's SMEM layout."""
+    from raytpu.kernels.trace_scene import pack_sph
+
+    sph14 = pack_sph(scene)                     # (14, s_pad8)
+    n_s = sph14.shape[1]
+    s_pad = max(-(-n_s // EXT_CHUNK) * EXT_CHUNK, EXT_CHUNK)
+    return jnp.pad(sph14, ((0, 2), (0, s_pad - n_s)))
 
 
 def _pack_diff(scene: Scene):
@@ -685,7 +883,7 @@ def _pack_diff(scene: Scene):
     geom = precompute(scene.triangles)
     tri25 = pack_tri25(scene, geom)
     tri32 = jnp.pad(tri25, ((0, 32 - tri25.shape[0]), (0, 0)))
-    return pack_sph(scene), tri32, pack_mats(scene), pack_atlas_f32(scene)
+    return pack_sph_vm(scene), tri32, pack_mats(scene), pack_atlas_f32(scene)
 
 
 def mesh_backward(
@@ -697,18 +895,24 @@ def mesh_backward(
     idx: Array,
     g,
     interpret: bool,
+    aof: Array | None = None,
 ):
     """Host wrapper: pack, run the backward kernel, and pull the table
     cotangents back through the packing onto the scene pytree. Returns
     the custom-VJP tuple (d_scene, d_origin, d_direction, d_draws).
+    Serves mesh scenes AND (round 5) sphere scenes — n_tris == 0
+    statically compiles the triangle machinery out of the kernel.
 
     ``g`` is (d_inc, d_alb, d_nrm) Vec3s, plus the sky-scale cotangent
     Vec3 for equirect-sky scenes (the slot-level custom VJP in
     trace_scene drops the unit-direction/early-flag cotangents, which
-    are identically zero through the floor-quantized composition)."""
+    are identically zero through the floor-quantized composition).
+    ``aof`` is the forward-recorded (bounces, B) occlusion-factor array
+    for AO configs (required when cfg.use_ao)."""
     b = origin.x.shape[0]
-    rows = max(-(-b // LANE), BWD_ROWS)
-    rows = -(-rows // BWD_ROWS) * BWD_ROWS
+    bwd_rows, window = _bwd_tile(cfg.max_bounces)
+    rows = max(-(-b // LANE), bwd_rows)
+    rows = -(-rows // bwd_rows) * bwd_rows
 
     (sph, tri32, mats, atlas_a), pull = jax.vjp(
         lambda sc: _pack_diff(sc), scene
@@ -717,20 +921,32 @@ def mesh_backward(
     ox, oy, oz = (pad_rows(c, rows) for c in origin)
     dx, dy, dz = (pad_rows(c, rows) for c in direction)
 
-    bn, nd = bounce_draws.shape[0], bounce_draws.shape[1]
-    draws = bounce_draws.reshape(bn * nd, b)
+    # the replay consumes only the scatter/roulette draws (u, v, r);
+    # AO probe draws are not replayed (the occlusion factor is recorded)
+    bn = bounce_draws.shape[0]
+    draws3 = bounce_draws[:, :3, :]
+    draws = draws3.reshape(bn * 3, b)
     draws = jnp.pad(draws, ((0, 0), (0, rows * LANE - b))).reshape(
-        bn * nd, rows, LANE
+        bn * 3, rows, LANE
     )
     idxp = jnp.pad(
         idx, ((0, 0), (0, rows * LANE - b)), constant_values=-1
     ).reshape(bn, rows, LANE)
+    if cfg.use_ao:
+        assert aof is not None, "AO backward replay needs recorded factors"
+        aofp = jnp.pad(aof, ((0, 0), (0, rows * LANE - b))).reshape(
+            bn, rows, LANE
+        )
+    else:
+        aofp = jnp.zeros((bn, bwd_rows, LANE), jnp.float32)
     g9 = [pad_rows(c, rows) for vec in g for c in (vec.x, vec.y, vec.z)]
 
     n_tex = scene.atlas.alpha.shape[0]
     out = _bwd_call(
-        sph, mats, tri32, atlas_a, ox, oy, oz, dx, dy, dz, draws, idxp, g9,
+        sph, mats, tri32, atlas_a, ox, oy, oz, dx, dy, dz, draws, idxp,
+        aofp, g9,
         n_spheres=scene.spheres.count,
+        n_tris=scene.triangles.count,
         n_mats=scene.mat_table.emission_strength.shape[0],
         has_atlas=n_tex > 0,
         atlas_w=scene.atlas.width, atlas_h=scene.atlas.height,
@@ -739,12 +955,17 @@ def mesh_backward(
         alpha_lo=cfg.refr_alpha_lo, alpha_hi=cfg.refr_alpha_hi,
         bright_boost=cfg.bright_boost,
         bright_threshold=cfg.bright_threshold,
-        n_draws=nd, hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
+        n_draws=3, hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
         sky_idx=(
             scene.sky_sphere_index
             if scene.sky_sphere_index >= 0 and scene.sky.rgb.x.shape[0] > 0
             and len(g) > 3 else -1
         ),
+        use_ao=cfg.use_ao,
+        e_scale_mult=(
+            cfg.ao_emission_factor * cfg.ao_intensity if cfg.use_ao else 1.0
+        ),
+        bwd_rows=bwd_rows, window=window,
         interpret=interpret,
     )
     d_sph, d_mat, d_tri, d_atlas = out[0], out[1], out[2], out[3]

@@ -65,7 +65,7 @@ def _forward_body(
     *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
     ao_intensity, ao_emission_factor, hsl_l, hsl_s,
-    sky_idx=-1, sky_w=0, sky_h=0,
+    sky_idx=-1, sky_w=0, sky_h=0, record=False,
 ):
     """The whole bounce loop as a PURE function of traced values.
 
@@ -112,6 +112,10 @@ def _forward_body(
         skdx, skdy, skdz = f0, f0, f0     # sky-slot unit hit direction
         early_f = f0                      # slot is an emissive early return
         slot_f = f0                       # slot taken
+    idx_rec, aof_rec = [], []             # record=True (grad forward):
+                                          # per-bounce winner indices +
+                                          # AO occlusion factors for the
+                                          # index-replay backward
 
     for i in range(bounces):              # static unroll
         active = active_f > 0.0
@@ -143,6 +147,12 @@ def _forward_body(
             bidx = jnp.where(better, s, bidx)
 
         did_hit = bidx >= 0
+        if record:
+            # winner indices for the backward replay: live lanes record
+            # their winner (-1 = miss); lanes whose bounce is over are
+            # masked to -1, which the replay's active gating makes
+            # equivalent (same convention as the mesh kernel)
+            idx_rec.append(jnp.where(active, bidx, -1))
         safe_t = jnp.where(did_hit, best, 0.0)
         px = rox + rdx * safe_t
         py = roy + rdy * safe_t
@@ -378,6 +388,11 @@ def _forward_body(
                     )
                 occ = occ + jnp.where(occ_hit, 1.0, 0.0)
             factor = occ * (1.0 / (ao_samples * ao_intensity))
+            if record:
+                # piecewise-constant in every parameter (indicator sum),
+                # so the replay treats the recorded factor as a constant
+                # — gradient-exact (see trace_scene.shade_bounce)
+                aof_rec.append(factor)
             nbx = nbx * factor
             nby = nby * factor
             nbz = nbz * factor
@@ -388,9 +403,13 @@ def _forward_body(
         active_f = jnp.where(active & did_hit, f1, f0)
 
     if sky_idx >= 0:
-        return (ix, iy, iz, ax_, ay_, az_, nx_, ny_, nz_,
+        outs = (ix, iy, iz, ax_, ay_, az_, nx_, ny_, nz_,
                 sklx, skly, sklz, skdx, skdy, skdz, early_f)
-    return ix, iy, iz, ax_, ay_, az_, nx_, ny_, nz_
+    else:
+        outs = (ix, iy, iz, ax_, ay_, az_, nx_, ny_, nz_)
+    if record:
+        return outs, idx_rec, aof_rec
+    return outs
 
 
 def _read_table(sph_ref, n_spheres):
@@ -403,15 +422,36 @@ def _kernel(
     sph_ref,      # SMEM (14, S_pad): cx cy cz r | dif3 emi3 estr refl alpha ior
     ox, oy, oz, dx, dy, dz,          # VMEM (ROWS, LANE) ray tiles
     draws_ref,                        # VMEM (BN*n_draws, ROWS, LANE)
-    *out_refs,   # 9 planes (inc3 alb3 nrm3) + 7 sky planes when sky is on
-    n_spheres, bounces, n_draws, **statics,
+    *out_refs,   # 9 planes (inc3 alb3 nrm3) + 7 sky planes when sky is
+                 # on; with_indices adds a (BN, R, L) i32 winner-index
+                 # block and (use_ao) a (BN, R, L) f32 AO-factor block
+    n_spheres, bounces, n_draws, with_indices=False, **statics,
 ):
     sv = _read_table(sph_ref, n_spheres)
     draws = [draws_ref[j] for j in range(bounces * n_draws)]
-    outs = _forward_body(
-        sv, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], draws,
-        n_spheres=n_spheres, bounces=bounces, n_draws=n_draws, **statics,
-    )
+    if with_indices:
+        outs, idx_rec, aof_rec = _forward_body(
+            sv, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], draws,
+            n_spheres=n_spheres, bounces=bounces, n_draws=n_draws,
+            record=True, **statics,
+        )
+        if statics.get("use_ao"):
+            aof_ref = out_refs[-1]
+            idx_ref = out_refs[-2]
+            out_refs = out_refs[:-2]
+            for i in range(bounces):
+                aof_ref[i] = aof_rec[i]
+        else:
+            idx_ref = out_refs[-1]
+            out_refs = out_refs[:-1]
+        for i in range(bounces):
+            idx_ref[i] = idx_rec[i]
+    else:
+        outs = _forward_body(
+            sv, ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], draws,
+            n_spheres=n_spheres, bounces=bounces, n_draws=n_draws,
+            **statics,
+        )
     assert len(out_refs) == len(outs)
     for ref, val in zip(out_refs, outs):
         ref[:] = val
@@ -488,7 +528,8 @@ def _bwd_kernel(
         "n_spheres", "bounces", "sphere_eps", "alpha_lo", "alpha_hi",
         "bright_boost", "bright_threshold", "n_draws", "use_ao",
         "ao_samples", "ao_intensity", "ao_emission_factor",
-        "hsl_l", "hsl_s", "sky_idx", "sky_w", "sky_h", "interpret",
+        "hsl_l", "hsl_s", "sky_idx", "sky_w", "sky_h", "with_indices",
+        "interpret",
     ),
 )
 def _trace_call(
@@ -496,7 +537,7 @@ def _trace_call(
     *, n_spheres, bounces, sphere_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, use_ao, ao_samples,
     ao_intensity, ao_emission_factor, hsl_l, hsl_s,
-    sky_idx, sky_w, sky_h, interpret,
+    sky_idx, sky_w, sky_h, with_indices, interpret,
 ):
     rows = ox.shape[0]
     grid = (rows // ROWS,)
@@ -518,15 +559,32 @@ def _trace_call(
         ao_intensity=ao_intensity, ao_emission_factor=ao_emission_factor,
         hsl_l=hsl_l, hsl_s=hsl_s,
         sky_idx=sky_idx, sky_w=sky_w, sky_h=sky_h,
+        with_indices=with_indices,
     )
+    out_specs = [ray_spec] * n_out
+    out_shape = [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * n_out
+    if with_indices:
+        bn_spec = pl.BlockSpec(
+            (bounces, ROWS, LANE), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs.append(bn_spec)
+        out_shape.append(
+            jax.ShapeDtypeStruct((bounces, rows, LANE), jnp.int32)
+        )
+        if use_ao:
+            out_specs.append(bn_spec)
+            out_shape.append(
+                jax.ShapeDtypeStruct((bounces, rows, LANE), jnp.float32)
+            )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [ray_spec] * 6
         + [draws_spec],
-        out_specs=[ray_spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * n_out,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(sph, ox, oy, oz, dx, dy, dz, draws)
     return out
@@ -777,7 +835,8 @@ def _mk_vjp(scene, cfg, origin, direction, bounce_draws, interpret):
     return _mk_forward(scene, cfg, origin, direction, bounce_draws, interpret)
 
 
-def _mk_forward(scene, cfg, origin, direction, bounce_draws, interpret):
+def _mk_forward(scene, cfg, origin, direction, bounce_draws, interpret,
+                with_indices=False):
     b = origin.x.shape[0]
     sph, ox, oy, oz, dx, dy, dz, draws, nd = _pack_inputs(
         scene, origin, direction, bounce_draws, ROWS
@@ -785,26 +844,42 @@ def _mk_forward(scene, cfg, origin, direction, bounce_draws, interpret):
     out = _trace_call(
         sph, ox, oy, oz, dx, dy, dz, draws,
         n_spheres=scene.spheres.count, interpret=interpret,
+        with_indices=with_indices,
         **_statics(cfg, nd), **_sky_statics(scene),
     )
+    bn = bounce_draws.shape[0]
+    idx = aof = None
+    if with_indices:
+        if cfg.use_ao:
+            aof = out[-1].reshape(bn, -1)[:, :b]
+            idx = out[-2].reshape(bn, -1)[:, :b]
+            out = out[:-2]
+        else:
+            idx = out[-1].reshape(bn, -1)[:, :b]
+            out = out[:-1]
     flat = [o.reshape(-1)[:b] for o in out]
     base = (
         Vec3(flat[0], flat[1], flat[2]),
         Vec3(flat[3], flat[4], flat[5]),
         Vec3(flat[6], flat[7], flat[8]),
     )
-    if len(out) == 9:
-        return base
-    return base + (
-        Vec3(flat[9], flat[10], flat[11]),   # sky scale
-        Vec3(flat[12], flat[13], flat[14]),  # sky unit hit direction
-        flat[15],                            # early-return flag
-    )
+    if len(out) != 9:
+        base = base + (
+            Vec3(flat[9], flat[10], flat[11]),   # sky scale
+            Vec3(flat[12], flat[13], flat[14]),  # sky unit hit direction
+            flat[15],                            # early-return flag
+        )
+    if with_indices:
+        return base, idx, aof
+    return base
 
 
 def _mk_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
-    out = _mk_forward(scene, cfg, origin, direction, bounce_draws, interpret)
-    return out, (scene, origin, direction, bounce_draws)
+    out, idx, aof = _mk_forward(
+        scene, cfg, origin, direction, bounce_draws, interpret,
+        with_indices=True,
+    )
+    return out, (scene, origin, direction, bounce_draws, idx, aof)
 
 
 def _zero_cot(x):
@@ -819,7 +894,22 @@ def _zero_cot(x):
 
 
 def _mk_bwd(cfg, interpret, res, g):
-    scene, origin, direction, bounce_draws = res
+    scene, origin, direction, bounce_draws, idx, aof = res
+    if _os.environ.get("RAYTPU_SPH_BWD", "replay") == "replay":
+        # round-5 default: the shared index-replay backward megakernel
+        # (kernels/trace_scene_bwd with n_tris == 0) — the sphere search
+        # and the AO probe loops never run again; the replay
+        # reconstructs each bounce's winner from the recorded index by
+        # one one-hot MXU extraction and re-shades differentiably.
+        # RAYTPU_SPH_BWD=ad keeps the old AD-of-the-forward kernel as a
+        # debugging fallback.
+        from raytpu.kernels.trace_scene_bwd import mesh_backward
+
+        g_vecs = list(g[:4] if len(g) > 3 else g[:3])
+        return mesh_backward(
+            scene, cfg, origin, direction, bounce_draws, idx, g_vecs,
+            interpret, aof=aof,
+        )
     b = origin.x.shape[0]
     n_s = scene.spheres.count
 
