@@ -263,12 +263,21 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 CONFIGS = [
     ("cfg1_cornell_400x300", "cornell", {}, None),  # sphere-path bwd is
     # the flagship fwd_bwd line below; no second sphere bwd record
+    # sphere AO backward rides the index replay since r5 (recorded
+    # occlusion factors; the probes never run in the backward), so its
+    # cost is finally worth recording
     ("cfg2_dof_ao_800x600", f"{ROOT}/scenes/cornell_dof_ao.toml",
-     {"spp": 100}, None),  # AO scene: bwd covered by the flagship line
+     {"spp": 100}, {"spp": 50}),
     ("cfg3_pyramide_1000x750", f"{ROOT}/scenes/pyramide.toml",
      {"spp": 50}, {"spp": 50}),
     ("cfg4_grassblock_1000x750", f"{ROOT}/scenes/grass_block.toml",
      {"spp": 50}, {"spp": 50}),
+    # mesh + ambient occlusion — the reference's feature-complete CPU
+    # path (list_of_mesh with useAO, main.c:316; "≈2x slower",
+    # README.md:32). In-kernel AO probes since round 5; this line keeps
+    # the cost visible next to its no-AO twin above (VERDICT r4 next #4)
+    ("grassblock_ao_1000x750", f"{ROOT}/scenes/grass_block.toml",
+     {"spp": 50, "use_ao": True}, {"spp": 50, "use_ao": True}),
     # fwd at spp=50: at spp=20 the ~28ms fixed dispatch overhead eats
     # ~7% of a 0.4s call, understating the (spp-invariant) per-ray rate
     ("cfg5_mcworld_1200x900", f"{ROOT}/scenes/mcworld_water.toml",

@@ -176,7 +176,9 @@ def supported(scene: Scene, cfg: RenderConfig) -> bool:
         # row gather) — the index just has to name a real sphere
         and (scene.sky_sphere_index < 0
              or scene.sky_sphere_index < scene.spheres.count)
-        and not cfg.use_ao
+        # AO runs in-kernel since round 5 (hemisphere any-hit probes
+        # against spheres + the per-triangle table; main.c:316's
+        # mesh+AO is the reference's feature-complete CPU path)
         # the in-kernel fetch is nearest-texel (texture.h:61-69); the
         # bilinear differentiable-filtering mode takes the scan path
         and not (n_tex > 0 and cfg.bilinear_textures)
@@ -201,8 +203,6 @@ def unsupported_reasons(scene: Scene, cfg: RenderConfig) -> list[str]:
         r.append(f"{scene.spheres.count} spheres > 64")
     if scene.sky_sphere_index >= scene.spheres.count:
         r.append("sky_sphere_index out of range")
-    if cfg.use_ao:
-        r.append("ambient occlusion on")
     if n_tex > 0 and cfg.bilinear_textures:
         r.append("bilinear texture filtering")
     if scene.mat_table.emission_strength.shape[0] > MAX_MATS:
@@ -449,6 +449,7 @@ def _kernel(
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tex_limbs,
     with_indices, n_quads, n_leftover, aa_layout, sky_idx, sky_w, sky_h,
+    use_ao, ao_samples, ao_intensity, ao_emission_factor,
 ):
     f0 = jnp.zeros(ox.shape, jnp.float32)
     f1 = jnp.ones(ox.shape, jnp.float32)
@@ -458,10 +459,13 @@ def _kernel(
     # candidates rank as fractions and the per-triangle loop is replaced
     # by aa-group + general-quad + general-leftover loops
     use_merged = aa_layout is not None
+    e_scale_mult = ao_emission_factor * ao_intensity if use_ao else 1.0
     if sky_idx >= 0:
         sky_out, idx_ref_opt = opt_refs[:7], opt_refs[7:]
     else:
         sky_out, idx_ref_opt = (), opt_refs
+    if with_indices and use_ao:
+        idx_ref_opt, aof_ref_opt = idx_ref_opt[:1], idx_ref_opt[1:]
 
     # carry tuple: 22 base planes (see unpack in bounce_body) + 8 sky
     # planes when the scene has an equirect sky (same slot scheme as
@@ -1048,6 +1052,142 @@ def _kernel(
         ior = tsel(tior, sior)
         nX, nY, nZ = tsel(tnX, snX), tsel(tnY, snY), tsel(tnZ, snZ)
 
+        # ---- ambient occlusion probes (main.c:94-116, 316) ------------
+        # hemisphere any-hit rays from the hit point against spheres AND
+        # the per-triangle table (the same per-triangle validity rules
+        # as integrator.hit.any_hit — NOT the merged-quad loops, whose
+        # knife-edge rounding is only allclose; AO booleans must match
+        # the scan path's). occlusion = hits/(samples*intensity)
+        # multiplies the throughput after the bright quirk and the
+        # emission compensation rides e_scale_mult (shade_bounce).
+        ao_factor = None
+        if use_ao:
+            occ = f0
+            for s_i in range(ao_samples):
+                au = draws_ref[n_draws * i + 3 + 2 * s_i]
+                av = draws_ref[n_draws * i + 4 + 2 * s_i]
+                ath = (2.0 * jnp.float32(jnp.pi)) * au
+                acp = jnp.clip(2.0 * av - 1.0, -1.0, 1.0)
+                asp = jnp.sqrt(jnp.maximum(1.0 - acp * acp, 0.0))
+                aox_ = nX + jnp.cos(ath) * asp
+                aoy_ = nY + jnp.sin(ath) * asp
+                aoz_ = nZ + acp
+                an2 = aox_ * aox_ + aoy_ * aoy_ + aoz_ * aoz_
+                ainv = jnp.where(
+                    an2 > 0, 1.0 / jnp.sqrt(jnp.maximum(an2, 1e-38)), 0.0
+                )
+                aox_, aoy_, aoz_ = aox_ * ainv, aoy_ * ainv, aoz_ * ainv
+                aq = aox_ * aox_ + aoy_ * aoy_ + aoz_ * aoz_
+                ai2a = 0.5 / jnp.maximum(aq, 1e-20)
+                # Mosaic cannot carry i1 vectors through cond/fori — the
+                # occlusion flag rides as f32 0/1 (same workaround as
+                # the bounce carry's active_f)
+                occ_f = f0
+                for s2 in range(n_spheres):
+                    scx2, scy2, scz2, sr2 = (
+                        sph_ref[0, s2], sph_ref[1, s2],
+                        sph_ref[2, s2], sph_ref[3, s2],
+                    )
+                    ocx2, ocy2, ocz2 = px - scx2, py - scy2, pz - scz2
+                    b2 = 2.0 * (ocx2 * aox_ + ocy2 * aoy_ + ocz2 * aoz_)
+                    c2 = ocx2 * ocx2 + ocy2 * ocy2 + ocz2 * ocz2 - sr2 * sr2
+                    d2 = b2 * b2 - 4.0 * aq * c2
+                    sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+                    tt1 = (-b2 - sq2) * ai2a
+                    tt2 = (-b2 + sq2) * ai2a
+                    h2 = d2 > 0.0
+                    hit2 = h2 & ((tt1 >= sphere_eps) | (tt2 >= sphere_eps))
+                    occ_f = jnp.where(hit2, f1, occ_f)
+
+                if n_tris > 0:
+                    ainv_dx = 1.0 / aox_
+                    ainv_dy = 1.0 / aoy_
+                    ainv_dz = 1.0 / aoz_
+
+                    def ao_tri(t_i, of):
+                        ax2 = tri_ref[0, t_i]
+                        ay2 = tri_ref[1, t_i]
+                        az2 = tri_ref[2, t_i]
+                        abx2, aby2, abz2 = (
+                            tri_ref[3, t_i], tri_ref[4, t_i], tri_ref[5, t_i]
+                        )
+                        acx2, acy2, acz2 = (
+                            tri_ref[6, t_i], tri_ref[7, t_i], tri_ref[8, t_i]
+                        )
+                        nx2, ny2, nz2 = (
+                            tri_ref[9, t_i], tri_ref[10, t_i],
+                            tri_ref[11, t_i],
+                        )
+                        aox2, aoy2, aoz2 = px - ax2, py - ay2, pz - az2
+                        dax = aoy2 * aoz_ - aoz2 * aoy_
+                        day = aoz2 * aox_ - aox2 * aoz_
+                        daz = aox2 * aoy_ - aoy2 * aox_
+                        det2 = -(aox_ * nx2 + aoy_ * ny2 + aoz_ * nz2)
+                        inv_d2 = 1.0 / jnp.where(det2 >= det_eps, det2, 1.0)
+                        dst2 = (
+                            aox2 * nx2 + aoy2 * ny2 + aoz2 * nz2
+                        ) * inv_d2
+                        u2 = (
+                            acx2 * dax + acy2 * day + acz2 * daz
+                        ) * inv_d2
+                        v2 = -(
+                            abx2 * dax + aby2 * day + abz2 * daz
+                        ) * inv_d2
+                        w2 = 1.0 - u2 - v2
+                        valid2 = (
+                            (det2 >= det_eps) & (dst2 >= tri_eps)
+                            & (u2 >= tri_eps) & (v2 >= tri_eps)
+                            & (w2 >= tri_eps)
+                        )
+                        return jnp.where(valid2, f1, of)
+
+                    def ao_chunk(c, of):
+                        lo_x, lo_y, lo_z = (
+                            box_ref[0, c], box_ref[1, c], box_ref[2, c]
+                        )
+                        hi_x, hi_y, hi_z = (
+                            box_ref[3, c], box_ref[4, c], box_ref[5, c]
+                        )
+                        t0x = (lo_x - px) * ainv_dx
+                        t1x = (hi_x - px) * ainv_dx
+                        t0y = (lo_y - py) * ainv_dy
+                        t1y = (hi_y - py) * ainv_dy
+                        t0z = (lo_z - pz) * ainv_dz
+                        t1z = (hi_z - pz) * ainv_dz
+                        tmin = jnp.maximum(
+                            jnp.maximum(
+                                jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)
+                            ),
+                            jnp.minimum(t0z, t1z),
+                        )
+                        tmax = jnp.minimum(
+                            jnp.minimum(
+                                jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)
+                            ),
+                            jnp.maximum(t0z, t1z),
+                        )
+                        enter = jnp.any(
+                            (tmax >= tmin) & (tmax >= 0.0) & active
+                            & (of == 0.0)
+                        )
+
+                        def run(of):
+                            return jax.lax.fori_loop(
+                                0, CULL_CHUNK,
+                                lambda j, o: ao_tri(c * CULL_CHUNK + j, o),
+                                of,
+                            )
+
+                        return jax.lax.cond(enter, run, lambda o: o, of)
+
+                    occ_f = jax.lax.fori_loop(
+                        0, n_chunks, ao_chunk, occ_f
+                    )
+                occ = occ + occ_f
+            ao_factor = occ * (1.0 / (ao_samples * ao_intensity))
+            if with_indices:
+                aof_ref_opt[0][i] = ao_factor
+
         # ---- equirect sky slot (texture.h:92-112) ---------------------
         # same scheme as kernels/trace_spheres._forward_body: the 4096x
         # 2048 sky textures are far beyond VMEM, so the kernel records
@@ -1088,6 +1228,7 @@ def _kernel(
             alpha_lo=alpha_lo, alpha_hi=alpha_hi,
             bright_boost=bright_boost, bright_threshold=bright_threshold,
             hsl_l=hsl_l, hsl_s=hsl_s,
+            e_scale_mult=e_scale_mult, ao_factor=ao_factor,
         )
         if sky_idx < 0:
             return shade_bounce(*shade_args, **shade_kw)
@@ -1097,14 +1238,15 @@ def _kernel(
         # slot bookkeeping (trace_spheres take_e/take_a): the first sky
         # interaction is either an emissive early return (scale 1,
         # hsl-boost applied outside) or a regular accumulation (scale =
-        # estr * pre-update throughput); later sky events contribute
+        # e_scale * pre-update throughput); later sky events contribute
         # exactly zero under the black-diffuse convention
         take_e = emissive_ret & sky_win & (slot_f == 0.0)
         take_a = accum & sky_win & (slot_f == 0.0)
         take = take_e | take_a
-        sklx = jnp.where(take_e, f1, jnp.where(take_a, estr * rcx, sklx))
-        skly = jnp.where(take_e, f1, jnp.where(take_a, estr * rcy, skly))
-        sklz = jnp.where(take_e, f1, jnp.where(take_a, estr * rcz, sklz))
+        e_sc = estr if e_scale_mult == 1.0 else estr * e_scale_mult
+        sklx = jnp.where(take_e, f1, jnp.where(take_a, e_sc * rcx, sklx))
+        skly = jnp.where(take_e, f1, jnp.where(take_a, e_sc * rcy, skly))
+        sklz = jnp.where(take_e, f1, jnp.where(take_a, e_sc * rcz, sklz))
         skdx = jnp.where(take, sdx, skdx)
         skdy = jnp.where(take, sdy, skdy)
         skdz = jnp.where(take, sdz, skdz)
@@ -1116,6 +1258,8 @@ def _kernel(
     def skip_body(i, carry):
         if with_indices:
             idx_ref_opt[0][i] = jnp.full(ox.shape, -1, jnp.int32)
+            if use_ao:
+                aof_ref_opt[0][i] = f0
         return carry
 
     for i in range(bounces):              # static unroll
@@ -1157,7 +1301,8 @@ def _kernel(
         "tri_eps", "alpha_lo", "alpha_hi", "bright_boost",
         "bright_threshold", "n_draws", "hsl_l", "hsl_s", "tile_rows",
         "tex_limbs", "with_indices", "n_quads", "n_leftover", "aa_layout",
-        "sky_idx", "sky_w", "sky_h", "interpret",
+        "sky_idx", "sky_w", "sky_h", "use_ao", "ao_samples",
+        "ao_intensity", "ao_emission_factor", "interpret",
     ),
 )
 def _trace_call(
@@ -1168,7 +1313,8 @@ def _trace_call(
     atlas_h, bounces, sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, n_draws, hsl_l, hsl_s, tile_rows,
     tex_limbs, with_indices, n_quads, n_leftover, aa_layout,
-    sky_idx, sky_w, sky_h, interpret,
+    sky_idx, sky_w, sky_h, use_ao, ao_samples, ao_intensity,
+    ao_emission_factor, interpret,
 ):
     rows = ox.shape[0]
     grid = (rows // tile_rows,)
@@ -1197,18 +1343,27 @@ def _trace_call(
         hsl_l=hsl_l, hsl_s=hsl_s, tex_limbs=tex_limbs,
         with_indices=with_indices, n_quads=n_quads, n_leftover=n_leftover,
         aa_layout=aa_layout, sky_idx=sky_idx, sky_w=sky_w, sky_h=sky_h,
+        use_ao=use_ao, ao_samples=ao_samples, ao_intensity=ao_intensity,
+        ao_emission_factor=ao_emission_factor,
     )
     n_base = 16 if sky_idx >= 0 else 9
     out_specs = [ray_spec] * n_base
     out_shape = [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * n_base
     if with_indices:
-        out_specs.append(pl.BlockSpec(
+        bn_spec = pl.BlockSpec(
             (bounces, tile_rows, LANE), lambda i: (0, i, 0),
             memory_space=pltpu.VMEM,
-        ))
+        )
+        out_specs.append(bn_spec)
         out_shape.append(
             jax.ShapeDtypeStruct((bounces, rows, LANE), jnp.int32)
         )
+        if use_ao:
+            # recorded AO occlusion factors for the backward replay
+            out_specs.append(bn_spec)
+            out_shape.append(
+                jax.ShapeDtypeStruct((bounces, rows, LANE), jnp.float32)
+            )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1650,7 +1805,7 @@ def _mkm_sky_slot(scene, cfg, origin, direction, bounce_draws, interpret):
     backward megakernel replays the trace with the sky-slot planes —
     d_sdir/d_early are identically zero through the floor-quantized UV
     chain and are dropped."""
-    out6, _ = _mkm_forward(
+    out6, _, _ = _mkm_forward(
         scene, cfg, origin, direction, bounce_draws, interpret,
         with_indices=False,
     )
@@ -1658,21 +1813,21 @@ def _mkm_sky_slot(scene, cfg, origin, direction, bounce_draws, interpret):
 
 
 def _mkm_sky_slot_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
-    out6, idx = _mkm_forward(
+    out6, idx, aof = _mkm_forward(
         scene, cfg, origin, direction, bounce_draws, interpret,
         with_indices=True,
     )
-    return out6, (scene, origin, direction, bounce_draws, idx)
+    return out6, (scene, origin, direction, bounce_draws, idx, aof)
 
 
 def _mkm_sky_slot_bwd(cfg, interpret, res, g):
-    scene, origin, direction, bounce_draws, idx = res
+    scene, origin, direction, bounce_draws, idx, aof = res
     g_inc, g_alb, g_nrm, g_skl, _g_sdir, _g_early = g
     from raytpu.kernels.trace_scene_bwd import mesh_backward
 
     return mesh_backward(
         scene, cfg, origin, direction, bounce_draws, idx,
-        (g_inc, g_alb, g_nrm, g_skl), interpret,
+        (g_inc, g_alb, g_nrm, g_skl), interpret, aof=aof,
     )
 
 
@@ -1683,7 +1838,7 @@ _mkm_sky_slot.defvjp(_mkm_sky_slot_fwd, _mkm_sky_slot_bwd)
 def _mkm_sky(scene, cfg, origin, direction, bounce_draws, interpret):
     from raytpu.kernels.trace_spheres import compose_sky
 
-    out6, _ = _mkm_forward(
+    out6, _, _ = _mkm_forward(
         scene, cfg, origin, direction, bounce_draws, interpret,
         with_indices=False,
     )
@@ -1693,7 +1848,7 @@ def _mkm_sky(scene, cfg, origin, direction, bounce_draws, interpret):
 def _mkm_sky_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
     from raytpu.kernels.trace_spheres import compose_sky
 
-    out6, idx = _mkm_forward(
+    out6, idx, _aof = _mkm_forward(
         scene, cfg, origin, direction, bounce_draws, interpret,
         with_indices=True,
     )
@@ -1728,7 +1883,7 @@ HAS_VJP = True
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
 def _mkm_vjp(scene, cfg, origin, direction, bounce_draws, interpret):
-    out, _ = _mkm_forward(
+    out, _, _ = _mkm_forward(
         scene, cfg, origin, direction, bounce_draws, interpret,
         with_indices=False,
     )
@@ -1736,11 +1891,11 @@ def _mkm_vjp(scene, cfg, origin, direction, bounce_draws, interpret):
 
 
 def _mkm_fwd(scene, cfg, origin, direction, bounce_draws, interpret):
-    out, idx = _mkm_forward(
+    out, idx, aof = _mkm_forward(
         scene, cfg, origin, direction, bounce_draws, interpret,
         with_indices=True,
     )
-    return out, (scene, origin, direction, bounce_draws, idx)
+    return out, (scene, origin, direction, bounce_draws, idx, aof)
 
 
 # deepest bounce count the backward megakernel serves. Round 4's single
@@ -1757,7 +1912,7 @@ BWD_KERNEL_MAX_BOUNCES = 48
 
 
 def _mkm_bwd(cfg, interpret, res, g):
-    scene, origin, direction, bounce_draws, idx = res
+    scene, origin, direction, bounce_draws, idx, aof = res
     if (
         _os.environ.get("RAYTPU_MESH_BWD", "kernel") == "kernel"
         and cfg.max_bounces <= BWD_KERNEL_MAX_BOUNCES
@@ -1769,7 +1924,8 @@ def _mkm_bwd(cfg, interpret, res, g):
         from raytpu.kernels.trace_scene_bwd import mesh_backward
 
         return mesh_backward(
-            scene, cfg, origin, direction, bounce_draws, idx, g, interpret
+            scene, cfg, origin, direction, bounce_draws, idx, g, interpret,
+            aof=aof,
         )
     from raytpu.integrator.path import trace as scan_trace
 
@@ -1869,11 +2025,18 @@ def _mkm_forward(
         tex_limbs=1 if scene.atlas.packed is not None else 3,
         with_indices=with_indices, n_quads=n_quads,
         n_leftover=n_leftover, aa_layout=aa_layout,
+        use_ao=cfg.use_ao, ao_samples=cfg.ao_samples,
+        ao_intensity=cfg.ao_intensity,
+        ao_emission_factor=cfg.ao_emission_factor,
         **sky, interpret=interpret,
     )
     n_base = 16 if sky["sky_idx"] >= 0 else 9
     flat = [o.reshape(-1)[:b] for o in out[:n_base]]
-    idx = out[n_base].reshape(bn, -1)[:, :b] if with_indices else None
+    idx = aof = None
+    if with_indices:
+        idx = out[n_base].reshape(bn, -1)[:, :b]
+        if cfg.use_ao:
+            aof = out[n_base + 1].reshape(bn, -1)[:, :b]
     base = (
         Vec3(flat[0], flat[1], flat[2]),
         Vec3(flat[3], flat[4], flat[5]),
@@ -1885,4 +2048,4 @@ def _mkm_forward(
             Vec3(flat[12], flat[13], flat[14]),  # sky unit hit direction
             flat[15],                            # early-return flag
         )
-    return base, idx
+    return base, idx, aof

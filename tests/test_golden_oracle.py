@@ -140,3 +140,28 @@ def test_textured_mesh_matches_oracle():
     )
     cfg = RenderConfig(width=12, height=8, spp=2, max_bounces=4)
     _compare(scene, cam, cfg, jax.random.PRNGKey(17), outlier_frac=0.05)
+
+
+def test_textured_mesh_ao_matches_oracle():
+    """Mesh + ambient occlusion vs the f64 oracle: the reference's
+    feature-complete CPU configuration (list_of_mesh scenes with useAO,
+    /root/reference/main.c:316; ambient_occlusion main.c:94-116 probes
+    closest_hit over spheres AND triangles)."""
+    from raytpu.camera import make_camera
+    from raytpu.io.obj import load_obj_scene
+    from raytpu.scenes import BLACK, SKY, spheres_from_rows
+
+    d = "/root/reference/model3D/mcworld_tiltedtex_water"
+    sky = spheres_from_rows([((0, 0, 0), 10000.0, BLACK, SKY, 1.0, 0.0, 1.0, 1.0)])
+    scene = load_obj_scene(
+        f"{d}/mineways_tri.obj", f"{d}/mineways_tri.mtl", spheres=sky
+    )
+    cam = make_camera(
+        origin=(2.5, 2.6, 2.5), target=(0.075, 1.0, 0.0), up=(0, 1, 0),
+        vfov_deg=45.0, aspect_ratio=1.5,
+    )
+    cfg = RenderConfig(
+        width=12, height=8, spp=2, max_bounces=4, use_ao=True,
+        ao_samples=2, ao_intensity=2.5,
+    )
+    _compare(scene, cam, cfg, jax.random.PRNGKey(19), outlier_frac=0.05)

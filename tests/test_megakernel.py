@@ -212,3 +212,41 @@ def test_megakernel_camera_grads_match_scan():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         )
+
+
+def test_megakernel_ao_grad_matches_scan():
+    """Sphere AO gradients through the round-5 index-replay backward:
+    the forward records occlusion factors and the replay treats them as
+    constants — which must equal the scan path's AD exactly (the
+    indicator sum is piecewise-constant, so its true derivative is zero
+    a.e.; emission compensation rides e_scale_mult)."""
+    from raytpu.config import load_scene
+    from raytpu.train import combine_scene, partition_scene
+
+    scene, cam, cfg0 = load_scene("scenes/cornell_dof_ao.toml")
+    cfg = cfg0.replace(
+        width=8, height=6, spp=2, max_bounces=3,
+        use_megakernel=True, pallas_interpret=True,
+    )
+    assert cfg.use_ao
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(31)
+    params, static = partition_scene(scene)
+
+    def loss(params, c):
+        sums = render(combine_scene(params, static), cam, c, pids, key)
+        return jnp.mean((sums.radiance.to_array() - 0.2) ** 2)
+
+    g_mk = jax.grad(loss)(params, cfg)
+    g_scan = jax.grad(loss)(params, cfg.replace(use_megakernel=False))
+    for name, a, b in (
+        ("diffuse.x", g_mk.spheres.mat.diffuse.x,
+         g_scan.spheres.mat.diffuse.x),
+        ("emission_strength", g_mk.spheres.mat.emission_strength,
+         g_scan.spheres.mat.emission_strength),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=name,
+        )
+    assert float(np.abs(np.asarray(g_scan.spheres.mat.diffuse.x)).max()) > 0

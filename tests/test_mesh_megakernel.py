@@ -172,7 +172,8 @@ def test_untextured_mesh_matches_scan():
 
 def test_dispatch_and_fallbacks():
     """Sphere-only scenes keep taking trace_spheres; small-atlas mesh
-    scenes take trace_scene; AO scenes fall back to the scan.
+    scenes take trace_scene — including AO configs (in-kernel hemisphere
+    probes since round 5, main.c:316).
     grass_block's 1440x1920 PNG is a nearest-upscale of a 48x64
     pixel-art original, so the bit-exact atlas collapse (io/obj.py
     collapse_factor) brings it inside the in-kernel texture bounds."""
@@ -187,7 +188,7 @@ def test_dispatch_and_fallbacks():
     mesh_scene, cam, _ = load_scene("scenes/pyramide.toml")
     assert supported(mesh_scene, cfg)
     assert not trace_spheres.supported(mesh_scene, cfg)
-    assert not supported(mesh_scene, cfg.replace(use_ao=True))
+    assert supported(mesh_scene, cfg.replace(use_ao=True))
 
     big_tex, _, _ = load_scene("scenes/grass_block.toml")
     assert supported(big_tex, cfg)
@@ -197,14 +198,60 @@ def test_dispatch_and_fallbacks():
     mc, _, _ = load_scene("scenes/mcworld_water.toml")
     assert supported(mc, cfg)
 
-    # AO mesh render still works via the scan fallback
-    cfg2 = RenderConfig(
-        width=8, height=6, spp=2, max_bounces=3, use_ao=True,
-        use_megakernel=True, pallas_interpret=True,
+
+def test_mesh_ao_matches_scan():
+    """Mesh + ambient occlusion through the megakernel (the reference's
+    feature-complete CPU path: list_of_mesh scenes with useAO,
+    main.c:316 + 94-116) vs the scan integrator — same draws, same
+    occlusion booleans (the AO probes test the per-triangle table with
+    any_hit's validity rules, NOT the merged-quad fast path)."""
+    scene, cam, _ = load_scene("scenes/grass_block.toml")
+    cfg = RenderConfig(
+        width=16, height=12, spp=3, max_bounces=4, use_ao=True,
+        ao_samples=2,
     )
-    pids = jnp.arange(cfg2.n_pixels, dtype=jnp.int32)
-    out = render(mesh_scene, cam, cfg2, pids, jax.random.PRNGKey(2))
-    assert np.isfinite(np.asarray(out.radiance.to_array())).all()
+    assert supported(scene, cfg)
+    _compare(scene, cam, cfg, jax.random.PRNGKey(9))
+    # and with the quad fast path on (grass_block pairs all 6 faces)
+    _compare(
+        scene, cam, cfg.replace(merge_quads=True), jax.random.PRNGKey(9)
+    )
+
+
+def test_mesh_ao_grad_matches_scan():
+    """Gradients through the mesh+AO kernel path: the occlusion factor
+    is recorded by the forward and replayed as a constant, which must
+    equal the scan path's AD (the indicator sum is piecewise-constant,
+    so its true derivative is zero a.e.)."""
+    from raytpu.train import combine_scene, partition_scene
+
+    scene, cam, _ = load_scene("scenes/grass_block.toml")
+    cfg = RenderConfig(
+        width=10, height=8, spp=2, max_bounces=3, use_ao=True,
+        ao_samples=2, use_megakernel=True, pallas_interpret=True,
+    )
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(77)
+    params, static = partition_scene(scene)
+
+    def loss(params, c):
+        sums = render(combine_scene(params, static), cam, c, pids, key)
+        return jnp.mean((sums.radiance.to_array() - 0.2) ** 2)
+
+    g_mk = jax.grad(loss)(params, cfg)
+    g_scan = jax.grad(loss)(params, cfg.replace(use_megakernel=False))
+    for name, a, b in (
+        ("atlas.rgb.x", g_mk.atlas.rgb.x, g_scan.atlas.rgb.x),
+        ("mat.emission_strength", g_mk.mat_table.emission_strength,
+         g_scan.mat_table.emission_strength),
+        ("sph.diffuse.x", g_mk.spheres.mat.diffuse.x,
+         g_scan.spheres.mat.diffuse.x),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=name,
+        )
+    assert float(np.abs(np.asarray(g_scan.atlas.rgb.x)).max()) > 0
 
 
 def test_mesh_megakernel_grad_matches_scan():

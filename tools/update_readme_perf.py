@@ -29,6 +29,8 @@ LABELS = [
      "mesh megakernel", "pyramide"),
     ("cfg4_grassblock_1000x750", "4. grass_block textures 1000x750/5b",
      "mesh megakernel (in-kernel texel fetch)", "grassblock"),
+    ("grassblock_ao_1000x750", "grass_block + AO 1000x750/5b",
+     "mesh megakernel (in-kernel AO probes)", None),
     ("cfg5_mcworld_1200x900", "5. mcworld 606 tris + refraction 1200x900/6b",
      "mesh megakernel (axis-aligned fast loops)", "mcworld"),
     ("sky_1000x750", "sky showcase (equirect texture) 1000x750/4b",
