@@ -138,9 +138,15 @@ def _bwd_tile(bounces: int) -> tuple[int, int]:
 # compatibility export: the widest tile the module uses (shape helpers)
 BWD_ROWS = 16
 
+# sphere-table extraction chunk: spheres cap at 64, so a 16-lane one-hot
+# covers typical scenes at an eighth of the triangle chunk's build cost
+# (_ext_onehot); scenes with more spheres pad to the next multiple.
+SPH_CHUNK = 16
 
-@jax.custom_vjp
-def _extract_channels(tri_t: Array, sel_f: Array) -> Array:
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _extract_channels(tri_t: Array, sel_f: Array,
+                      chunk: int = EXT_CHUNK) -> Array:
     """Winner-channel extraction: (R, T_pad) f32 table x one-hot -> (R, n).
 
     Exact: f32 ``jnp.dot`` inside Pallas lowers to full-precision MXU
@@ -160,35 +166,41 @@ def _extract_channels(tri_t: Array, sel_f: Array) -> Array:
     unrolled Mosaic path, where jax.checkpoint cannot lower (remat2 has
     no Mosaic rule) — could not be rematerialized away.
     """
-    return _extract_fwd(tri_t, sel_f)[0]
+    return _extract_fwd(tri_t, sel_f, chunk)[0]
 
 
-def _ext_onehot(sel_f: Array, c: int, n: int) -> Array:
-    ext_iota = jax.lax.broadcasted_iota(jnp.int32, (EXT_CHUNK, n), 0)
+def _ext_onehot(sel_f: Array, c: int, n: int, chunk: int) -> Array:
+    # the one-hot BUILD (iota compare + cast over (chunk, n)) is the
+    # extraction's real VPU cost — ~2 ops x chunk per lane per call —
+    # so the chunk is a parameter: the sphere table runs at 16 (8x
+    # cheaper than the triangle table's 128; tools/roofline.py counts
+    # this, and the flagship backward moved ~0.57 -> 0.66 Grays/s
+    # fwd+bwd when the sphere one-hot shrank)
+    ext_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 0)
     sel = sel_f.astype(jnp.int32)
-    return (ext_iota == sel - c * EXT_CHUNK).astype(jnp.float32)
+    return (ext_iota == sel - c * chunk).astype(jnp.float32)
 
 
-def _extract_fwd(tri_t: Array, sel_f: Array):
+def _extract_fwd(tri_t: Array, sel_f: Array, chunk: int = EXT_CHUNK):
     n = sel_f.shape[1]
     t_pad = tri_t.shape[1]
     acc = jnp.zeros((tri_t.shape[0], n), jnp.float32)
-    for c in range(t_pad // EXT_CHUNK):
+    for c in range(t_pad // chunk):
         acc = acc + jnp.dot(
-            tri_t[:, c * EXT_CHUNK : (c + 1) * EXT_CHUNK],
-            _ext_onehot(sel_f, c, n),
+            tri_t[:, c * chunk : (c + 1) * chunk],
+            _ext_onehot(sel_f, c, n, chunk),
             preferred_element_type=jnp.float32,
         )
     return acc, (sel_f, t_pad)
 
 
-def _extract_bwd(res, g):
+def _extract_bwd(chunk, res, g):
     sel_f, t_pad = res
     n = sel_f.shape[1]
     chunks = [
-        jnp.dot(g, _ext_onehot(sel_f, c, n).T,
+        jnp.dot(g, _ext_onehot(sel_f, c, n, chunk).T,
                 preferred_element_type=jnp.float32)
-        for c in range(t_pad // EXT_CHUNK)
+        for c in range(t_pad // chunk)
     ]
     return jnp.concatenate(chunks, axis=1), jnp.zeros_like(sel_f)
 
@@ -257,7 +269,7 @@ def _replay_bounce(
     n_spheres, n_tris, n_mats, has_atlas, atlas_w, atlas_h,
     sphere_eps, det_eps, tri_eps, alpha_lo, alpha_hi,
     bright_boost, bright_threshold, hsl_l, hsl_s, sky_idx=-1,
-    use_ao=False, e_scale_mult=1.0,
+    use_ao=False, e_scale_mult=1.0, pre_tri=None, pre_sph=None,
 ):
     """One differentiable replay bounce: recorded winner -> extraction ->
     distance recompute -> texture/material resolve -> shade_bounce.
@@ -297,11 +309,18 @@ def _replay_bounce(
     if n_tris > 0:
         # ---- triangle winner extraction (one-hot MXU; exact) -----------
         # the lane index rides as f32 (values < 2^24, exact) so the custom
-        # pullback can hand back a plain zero cotangent for it
-        sel_f = jnp.where(
-            tri_wins, bidx - n_spheres, -1
-        ).reshape(1, n).astype(jnp.float32)
-        wout = _extract_channels(tri_t, sel_f)
+        # pullback can hand back a plain zero cotangent for it.
+        # ``pre_tri``: the windowed kernel batches every bounce's
+        # extraction into ONE dot per window (sel vectors are recorded
+        # constants) and hands this bounce its slice — the per-bounce
+        # dot only runs on the scan/interpret path.
+        if pre_tri is not None:
+            wout = pre_tri
+        else:
+            sel_f = jnp.where(
+                tri_wins, bidx - n_spheres, -1
+            ).reshape(1, n).astype(jnp.float32)
+            wout = _extract_channels(tri_t, sel_f, EXT_CHUNK)
         row = lambda j: wout[j : j + 1].reshape(rox.shape)
         wax, way, waz = row(0), row(1), row(2)
         wabx, waby, wabz = row(3), row(4), row(5)
@@ -332,11 +351,18 @@ def _replay_bounce(
         t_t = jnp.where(t_valid, t_dst, BIG)
 
     if n_spheres > 0:
-        # ---- sphere winner extraction (same one-hot MXU scheme) --------
-        ssel_f = jnp.where(
-            did_hit & ~tri_wins, bidx, -1
-        ).reshape(1, n).astype(jnp.float32)
-        sout = _extract_channels(sphvm, ssel_f)
+        # ---- sphere winner extraction (one-hot MXU, 16-lane chunk) ----
+        # an SMEM-scalar select-chain variant (the r4 structure) was
+        # measured SLOWER at the 16-row tile (544 vs 582 Mrays/s
+        # flagship fwd+bwd) — the 14 x S where-chains cost more than the
+        # small dots; documented as a rejected ablation.
+        if pre_sph is not None:
+            sout = pre_sph
+        else:
+            ssel_f = jnp.where(
+                did_hit & ~tri_wins, bidx, -1
+            ).reshape(1, n).astype(jnp.float32)
+            sout = _extract_channels(sphvm, ssel_f, SPH_CHUNK)
         srow = lambda j: sout[j : j + 1].reshape(rox.shape)
         (scx, scy, scz, sr, sdfx, sdfy, sdfz, semx, semy, semz,
          sestr, srefl, salpha, sior) = (srow(k) for k in range(14))
@@ -678,14 +704,59 @@ def _bwd_kernel(
          gox, goy, goz, gdx, gdy, gdz) = vjp_fn(g)
     else:
         # ---- windowed unrolled sweep (the hardware path) ---------------
+        rows_t = ox.shape[0]
+        n_lane = rows_t * LANE
+
         def win_fn(lo, hi):
             def f(sphvm, mv, tri_t, atlas_a, carry):
+                # ONE batched extraction dot per table per window: the
+                # sel vectors are recorded constants, so every bounce's
+                # winner channels are available upfront — 2 dots replace
+                # 2*W, removing the per-bounce MXU pipeline latency the
+                # backward roofline showed serializing against the VPU
+                w_b = hi - lo
+                pre_tri_w = pre_sph_w = None
+                if n_tris > 0:
+                    sel_cat = jnp.concatenate([
+                        jnp.where(
+                            idxs[i] >= n_spheres, idxs[i] - n_spheres, -1
+                        ).reshape(1, n_lane).astype(jnp.float32)
+                        for i in range(lo, hi)
+                    ], axis=1)
+                    ext = _extract_channels(tri_t, sel_cat, EXT_CHUNK)
+                    pre_tri_w = [
+                        ext[:, k * n_lane : (k + 1) * n_lane]
+                        for k in range(w_b)
+                    ]
+                if n_spheres > 0:
+                    ssel_cat = jnp.concatenate([
+                        jnp.where(
+                            (idxs[i] >= 0)
+                            & (idxs[i] < n_spheres if n_tris > 0
+                               else idxs[i] >= 0),
+                            idxs[i], -1,
+                        ).reshape(1, n_lane).astype(jnp.float32)
+                        for i in range(lo, hi)
+                    ], axis=1)
+                    sext = _extract_channels(sphvm, ssel_cat, SPH_CHUNK)
+                    pre_sph_w = [
+                        sext[:, k * n_lane : (k + 1) * n_lane]
+                        for k in range(w_b)
+                    ]
                 for i in range(lo, hi):
                     carry = _replay_bounce(
                         sphvm, mv, tri_t, atlas_a, carry, i, idxs[i],
                         draws[n_draws * i + 0], draws[n_draws * i + 1],
                         draws[n_draws * i + 2],
                         aofs[i] if use_ao else None,
+                        pre_tri=(
+                            pre_tri_w[i - lo] if pre_tri_w is not None
+                            else None
+                        ),
+                        pre_sph=(
+                            pre_sph_w[i - lo] if pre_sph_w is not None
+                            else None
+                        ),
                         **bounce_kw,
                     )
                 return carry
@@ -871,7 +942,7 @@ def pack_sph_vm(scene: Scene) -> Array:
 
     sph14 = pack_sph(scene)                     # (14, s_pad8)
     n_s = sph14.shape[1]
-    s_pad = max(-(-n_s // EXT_CHUNK) * EXT_CHUNK, EXT_CHUNK)
+    s_pad = max(-(-n_s // SPH_CHUNK) * SPH_CHUNK, SPH_CHUNK)
     return jnp.pad(sph14, ((0, 2), (0, s_pad - n_s)))
 
 

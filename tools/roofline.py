@@ -121,6 +121,180 @@ def count_ops(jaxpr, tile_numel: int) -> Counter:
     return c
 
 
+def count_ops_weighted(jaxpr, tile_numel: int) -> Counter:
+    """Like count_ops, but EVERY vector op counts numel/tile_numel
+    "tile-equivalents" instead of only exactly-tile-shaped outputs.
+
+    The backward replay's dominant transients are NOT tile-shaped: the
+    extraction one-hots are (chunk, rays) and the texel-fetch one-hot/
+    mask are (texrows, rays) — a (128, rays) iota-compare is 128 tiles
+    of VPU work. The forward counters ignore sub/super-tile ops because
+    the forward bodies genuinely are tile-shaped; the backward counter
+    must not.
+    """
+    import numpy as _np
+
+    c: Counter = Counter()
+
+    def walk(jx, mult):
+        for eq in jx.eqns:
+            sub = None
+            submult = mult
+            p = eq.primitive.name
+            if p in ("pjit", "closed_call", "custom_jvp_call",
+                     "custom_vjp_call", "remat", "checkpoint",
+                     "custom_vjp_call_jaxpr"):
+                prm = eq.params.get("jaxpr") or eq.params.get("call_jaxpr")
+                sub = prm.jaxpr if hasattr(prm, "jaxpr") else prm
+            elif p == "scan":
+                sub = eq.params["jaxpr"].jaxpr
+                submult = mult * eq.params["length"]
+            elif p == "cond":
+                heavy = None
+                for br in eq.params["branches"]:
+                    cc = Counter()
+                    saved_c = dict(c)
+                    c.clear()
+                    walk(br.jaxpr, mult)
+                    cc.update(c)
+                    c.clear()
+                    c.update(saved_c)
+                    if heavy is None or sum(cc.values()) > sum(heavy.values()):
+                        heavy = cc
+                c.update(heavy)
+                continue
+            if sub is not None:
+                walk(sub, submult)
+                continue
+            out_numel = max(
+                (int(_np.prod(v.aval.shape))
+                 for v in eq.outvars if hasattr(v.aval, "shape")),
+                default=0,
+            )
+            w = out_numel / tile_numel
+            if w < 1.0 / 128:     # scalars / tiny tables: noise
+                continue
+            if p == "dot_general":
+                lhs = eq.invars[0].aval.shape
+                dn = eq.params["dimension_numbers"][0][0]
+                k = 1
+                for d in dn:
+                    k *= lhs[d]
+                c["__mxu_macs"] += mult * out_numel * k / tile_numel
+            elif p in VPU_1:
+                c[p] += mult * w
+            elif p in TRANSCENDENTAL:
+                c["__trans_" + p] += mult * w
+            elif p not in SKIP:
+                c["__other_" + p] += mult * w
+
+    walk(jaxpr.jaxpr if hasattr(jaxpr, "jaxpr") else jaxpr, 1)
+    return c
+
+
+def backward_counts(scene_path, bounces: int) -> dict:
+    """VPU/MXU work of the backward megakernel per ray-bounce: trace the
+    EXACT windowed in-kernel reverse computation (_bwd_kernel's unrolled
+    path, including the one-hot rebuilds inside the custom VJPs) and
+    count its ops with the numel-weighted counter. scene_path None =
+    the flagship Cornell spheres."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.config import load_scene
+    from raytpu.kernels import trace_scene_bwd as tb
+
+    if scene_path is None:
+        from raytpu.scenes import cornell_box
+
+        scene, _, cfg0 = cornell_box()
+    else:
+        scene, _, cfg0 = load_scene(scene_path)
+    cfg = cfg0.replace(max_bounces=bounces)
+    rows, window = tb._bwd_tile(bounces)
+    tile = rows * 128
+    sphvm, tri32, mats, atlas_a = tb._pack_diff(scene)
+    n_mats = scene.mat_table.emission_strength.shape[0]
+    n_tex = scene.atlas.alpha.shape[0]
+    sky_on = (
+        scene.sky_sphere_index >= 0 and scene.sky.rgb.x.shape[0] > 0
+    )
+    statics = dict(
+        n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
+        n_mats=n_mats, has_atlas=n_tex > 0,
+        atlas_w=scene.atlas.width, atlas_h=scene.atlas.height,
+        sphere_eps=cfg.sphere_eps, det_eps=cfg.tri_det_eps,
+        tri_eps=cfg.tri_eps, alpha_lo=cfg.refr_alpha_lo,
+        alpha_hi=cfg.refr_alpha_hi, bright_boost=cfg.bright_boost,
+        bright_threshold=cfg.bright_threshold,
+        hsl_l=cfg.hsl_l_factor, hsl_s=cfg.hsl_s_factor,
+        sky_idx=scene.sky_sphere_index if sky_on else -1,
+        use_ao=False, e_scale_mult=1.0,
+    )
+    t = jnp.zeros((rows, 128), jnp.float32)
+    ti = jnp.zeros((rows, 128), jnp.int32)
+    mv = tuple(tuple(mats[k, m] for m in range(n_mats)) for k in range(9))
+    n_g = 12 if sky_on else 9
+
+    def body(sphvm, tri_t, atlas_a, ox, oy, oz, dx, dy, dz, g):
+        def win_fn(lo, hi):
+            def f(sphvm, mv_, tri_t, atlas_a, carry):
+                for i in range(lo, hi):
+                    carry = tb._replay_bounce(
+                        sphvm, mv_, tri_t, atlas_a, carry, i, ti,
+                        t, t, t, None, **statics,
+                    )
+                return carry
+            return f
+
+        w = min(window, bounces)
+        bounds = list(range(0, bounces, w)) + [bounces]
+        n_w = len(bounds) - 1
+        carry = tb._carry0(ox, oy, oz, dx, dy, dz, sky_on)
+        ckpts = [carry]
+        for k in range(n_w - 1):
+            carry = win_fn(bounds[k], bounds[k + 1])(
+                sphvm, mv, tri_t, atlas_a, carry
+            )
+            ckpts.append(carry)
+        d_carry = list(tb._zero_carry_cotangent(ckpts[0]))
+        for j in range(9):
+            d_carry[9 + j] = g[j]
+        if sky_on:
+            for j in range(3):
+                d_carry[22 + j] = g[9 + j]
+        dsph = jnp.zeros_like(sphvm)
+        dtri = jnp.zeros_like(tri_t)
+        datlas = jnp.zeros_like(atlas_a)
+        for k in reversed(range(n_w)):
+            _, vjp_fn = jax.vjp(
+                win_fn(bounds[k], bounds[k + 1]),
+                sphvm, mv, tri_t, atlas_a, tuple(ckpts[k]),
+            )
+            dsph_w, _dmv, dtri_w, datlas_w, d_carry_in = vjp_fn(
+                tuple(d_carry)
+            )
+            dsph = dsph + dsph_w
+            dtri = dtri + dtri_w
+            datlas = datlas + datlas_w
+            d_carry = list(d_carry_in)
+        return dsph, dtri, datlas, d_carry[:6]
+
+    g = tuple(t for _ in range(n_g))
+    jx = jax.make_jaxpr(body)(
+        sphvm, tri32, atlas_a, t, t, t, t, t, t, g
+    )
+    c = count_ops_weighted(jx, tile)
+    out = summarize(c, bounces)
+    out["vpu_ops_per_ray_bounce"] = int(out["vpu_ops_per_ray_bounce"])
+    out["mxu_macs_per_ray_bounce"] = int(out["mxu_macs_per_ray_bounce"])
+    out["note"] = (
+        f"windowed replay vjp, rows={rows} window={window}; weighted "
+        f"counter (one-hot builds included)"
+    )
+    return out
+
+
 def sphere_kernel_counts(bounces: int = 6, n_spheres: int = 10) -> dict:
     import jax
     import jax.numpy as jnp
@@ -485,6 +659,33 @@ def main() -> None:
     ):
         counts = mesh_kernel_counts(os.path.join(ROOT, spec), bounces)
         rows[tag] = (counts, previous_value(ROOT, metric))
+
+    # backward rows (VERDICT r4 next #1: "the accounting that drove
+    # forward optimization stops exactly where the remaining gap is").
+    # The bwd-only rate is derived from the recorded pair:
+    #   1/rate_bwd = 1/rate_fwd+bwd - 1/rate_fwd
+    for tag, spec, bounces, fwd_m, fb_m in (
+        ("flagship_spheres_bwd", None, 6,
+         "fwd_rays_per_sec_chip_1200x900x1000spp_6b",
+         "fwd_bwd_rays_per_sec_chip_1200x900_6b"),
+        ("pyramide_bwd", "scenes/pyramide.toml", 5,
+         "fwd_rays_per_sec_chip_cfg3_pyramide_1000x750",
+         "fwd_bwd_rays_per_sec_chip_cfg3_pyramide_1000x750"),
+        ("grassblock_bwd", "scenes/grass_block.toml", 5,
+         "fwd_rays_per_sec_chip_cfg4_grassblock_1000x750",
+         "fwd_bwd_rays_per_sec_chip_cfg4_grassblock_1000x750"),
+        ("mcworld_bwd", "scenes/mcworld_water.toml", 6,
+         "fwd_rays_per_sec_chip_cfg5_mcworld_1200x900",
+         "fwd_bwd_rays_per_sec_chip_cfg5_mcworld_1200x900"),
+    ):
+        spec_path = os.path.join(ROOT, spec) if spec else None
+        counts = backward_counts(spec_path, bounces)
+        fwd = previous_value(ROOT, fwd_m)
+        fb = previous_value(ROOT, fb_m)
+        rate = None
+        if fwd and fb and fb < fwd:
+            rate = 1.0 / (1.0 / fb - 1.0 / fwd)
+        rows[tag] = (counts, rate)
 
     out = {"vpu_peak_ops_s": vpu_peak, "mxu_peak_flops_s": mxu_peak,
            "kernels": {}}
