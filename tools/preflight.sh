@@ -19,20 +19,23 @@
 set -e
 cd "$(dirname "$0")/.."
 
-echo "== preflight 1/4: core test tier =="
+echo "== preflight 1/5: core test tier =="
 python -m pytest tests/ -q
 
 if [ "$1" != "--fast" ]; then
-  echo "== preflight 2/4: kernel test tier =="
+  echo "== preflight 2/5: kernel test tier =="
   python -m pytest tests/ -q -m kernel -o addopts="-n 2"
 else
-  echo "== preflight 2/4: kernel tier SKIPPED (--fast) =="
+  echo "== preflight 2/5: kernel tier SKIPPED (--fast) =="
 fi
 
-echo "== preflight 3/4: bench smoke =="
+echo "== preflight 3/5: bench smoke =="
 python bench.py --quick
 
-echo "== preflight 4/4: deep-bounce fwd+bwd smoke =="
+echo "== preflight 4/5: deep-bounce fwd+bwd smoke =="
 python tools/deep_bounce_smoke.py
+
+echo "== preflight 5/5: shard_map megakernel smoke =="
+python tools/shardmap_smoke.py
 
 echo "preflight PASSED"
