@@ -421,3 +421,48 @@ def test_ingraph_packed_sky_fresh_never_stale():
         shifted[:, 0], shifted[:, 1], shifted[:, 2], shifted[:, 0])))
     np.testing.assert_array_equal(got3, want3)
     assert np.abs(got3 - base).max() > 1e-3
+
+
+def test_sky_texel_grads_match_finite_differences():
+    """Sky TEXEL gradients (sky_texture_grads=True) FD-checked on a
+    downsampled sky (VERDICT r4 next #7): at fixed RNG the estimator is
+    a deterministic function of the texel values, and radiance is
+    LINEAR in them (emission scale * texel), so central differences
+    must match autodiff tightly. Checks the most-hit texel and one
+    unhit texel (grad exactly zero)."""
+    import numpy as np
+
+    scene = _sky_scene()
+    from raytpu.camera import make_camera
+
+    cam = make_camera(
+        origin=(0, 0, 2), target=(0, 0, -3), up=(0, 1, 0),
+        vfov_deg=60.0, aspect_ratio=1.5,
+    )
+    cfg = RenderConfig(
+        width=12, height=8, spp=3, max_bounces=3, sky_texture_grads=True
+    )
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(12)
+
+    def loss(rgb_x):
+        sky = scene.sky.replace(
+            rgb=Vec3(rgb_x, scene.sky.rgb.y, scene.sky.rgb.z)
+        )
+        sums = render(scene.replace(sky=sky), cam, cfg, pids, key)
+        return jnp.sum(sums.radiance.x)
+
+    x0 = scene.sky.rgb.x
+    g = np.asarray(jax.grad(loss)(x0))
+    assert np.abs(g).max() > 0
+    hot = int(np.argmax(np.abs(g)))
+    cold = int(np.argmin(np.abs(g)))
+    eps = 1e-2
+    for t in (hot, cold):
+        lp = float(loss(x0.at[t].add(eps)))
+        lm = float(loss(x0.at[t].add(-eps)))
+        fd = (lp - lm) / (2 * eps)
+        np.testing.assert_allclose(
+            g[t], fd, rtol=1e-3, atol=1e-5,
+            err_msg=f"texel {t}: ad={g[t]} fd={fd}",
+        )
