@@ -103,8 +103,8 @@ def main() -> None:
         lines.append(
             f"Flagship forward+backward (grad of a photometric loss through "
             f"the whole render): **{fb / 1e9:.2f} G rays/s** via the "
-            f"hand-structured backward megakernel "
-            f"(`kernels/trace_spheres._bwd_kernel`)."
+            f"windowed index-replay backward megakernel "
+            f"(`kernels/trace_scene_bwd`)."
         )
     block = "\n".join(
         ["<!-- bench:begin (tools/update_readme_perf.py) -->"]
