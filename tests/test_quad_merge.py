@@ -128,11 +128,11 @@ def _trace_pair(name, key=53, w=10, h=6, bounces=4):
     )
     origin, direction = sample_rays(cam, cfg, pids, cam_draws)
     a = trace(scene, cfg, origin, direction, bounce_draws)
-    b, idx_q = _mkm_forward(
+    b, idx_q, _ = _mkm_forward(
         scene, cfg, origin, direction, bounce_draws,
         interpret=True, with_indices=True,
     )
-    _, idx_p = _mkm_forward(
+    _, idx_p, _ = _mkm_forward(
         scene, cfg.replace(merge_quads=False), origin, direction,
         bounce_draws, interpret=True, with_indices=True,
     )
@@ -184,11 +184,11 @@ def test_zero_pairs_mesh_identical():
         ray_keys, 4, n_bounce_draws(cfg), cfg.max_bounces
     )
     origin, direction = sample_rays(cam, cfg, pids, cam_draws)
-    on, _ = _mkm_forward(
+    on, _, _ = _mkm_forward(
         scene, cfg, origin, direction, bounce_draws,
         interpret=True, with_indices=False,
     )
-    off, _ = _mkm_forward(
+    off, _, _ = _mkm_forward(
         scene, cfg.replace(merge_quads=False), origin, direction,
         bounce_draws, interpret=True, with_indices=False,
     )
