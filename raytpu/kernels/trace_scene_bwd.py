@@ -716,7 +716,13 @@ def _bwd_kernel(
                 # backward roofline showed serializing against the VPU
                 w_b = hi - lo
                 pre_tri_w = pre_sph_w = None
-                if n_tris > 0:
+                # batch only in the single-window (shallow) regime: the
+                # (R, W*n) extraction buffers pushed the 20-bounce deep
+                # path 12KB past the scoped-VMEM limit (preflight r5),
+                # and batching measured neutral (±1%) anyway — deep
+                # windows keep the per-bounce dots
+                batch = w_b == bounces
+                if n_tris > 0 and batch:
                     sel_cat = jnp.concatenate([
                         jnp.where(
                             idxs[i] >= n_spheres, idxs[i] - n_spheres, -1
@@ -728,7 +734,7 @@ def _bwd_kernel(
                         ext[:, k * n_lane : (k + 1) * n_lane]
                         for k in range(w_b)
                     ]
-                if n_spheres > 0:
+                if n_spheres > 0 and batch:
                     ssel_cat = jnp.concatenate([
                         jnp.where(
                             (idxs[i] >= 0)
