@@ -405,7 +405,13 @@ def main() -> None:
         v = measure_fwd_bwd(scene, cam, bwd_cfg)
         emit("fwd_bwd_rays_per_sec_chip_1200x900_6b", v,
              previous_value(ROOT, "fwd_bwd_rays_per_sec_chip_1200x900_6b"))
-        # denoise pass (BASELINE config-5 names it; denoiser.h:31-91)
+        # denoise pass (BASELINE config-5 names it; denoiser.h:31-91).
+        # NOTE (r4/r5 variance): kpcn reads 26-28 Mpix/s in a fresh
+        # process (twice, r5) but 18-20 at THIS point of the full suite
+        # — the depression is suite-context (device/allocator state
+        # after ~20 render benches), not measurement noise; min-of-3
+        # windows are already used. Treat suite-context denoise numbers
+        # as a lower bound.
         for name, mpix_s in measure_denoise().items():
             emit(f"denoise_{name}_mpix_per_sec_1200x900", mpix_s,
                  previous_value(ROOT, f"denoise_{name}_mpix_per_sec_1200x900"),

@@ -343,3 +343,4 @@ def test_mesh_megakernel_grad_origin_direction():
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7, err_msg=name)
         assert np.abs(b).max() > 0, f"{name}: vacuous comparison"
+

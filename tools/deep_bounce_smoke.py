@@ -74,6 +74,73 @@ def smoke(scene_path: str, width: int, height: int, spp: int,
     )
 
 
+def window_parity(scene_path: str, bounces: int) -> None:
+    """MULTI-window reverse-sweep gradient parity on the real backend:
+    the windowed unrolled path (checkpoints + per-window vjp +
+    serialization fence) only lowers through Mosaic — interpret mode
+    takes the single-vjp scan form, and the pytest harness forces CPU
+    (tests/conftest.py) — so this is where the structure is pinned
+    against the always-correct index-replay SCAN backward
+    (RAYTPU_MESH_BWD=replay). ``bounces`` above SINGLE_WINDOW_MAX makes
+    the kernel run several windows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytpu.config import load_scene
+    from raytpu.integrator.render import render
+    from raytpu.train import combine_scene, partition_scene
+
+    if jax.default_backend() == "cpu":
+        print("window-parity SKIPPED (cpu backend)")
+        return
+    scene, cam, cfg0 = load_scene(scene_path)
+    cfg = cfg0.replace(
+        width=32, height=24, spp=2, max_bounces=bounces,
+        use_megakernel=True,
+    )
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    key = jax.random.PRNGKey(91)
+    params, static = partition_scene(scene)
+
+    def loss(params):
+        sums = render(combine_scene(params, static), cam, cfg, pids, key)
+        return (
+            jnp.mean((sums.radiance.to_array() - 0.2) ** 2)
+            + jnp.mean(sums.normal.to_array() ** 2)
+        )
+
+    def grads(**env):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            return jax.jit(jax.grad(loss))(params)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    g_win = grads()                                 # windowed kernel
+    g_ref = grads(RAYTPU_MESH_BWD="replay")         # scan replay
+    for name, a, b in (
+        ("tri.a.x", g_win.triangles.a.x, g_ref.triangles.a.x),
+        ("sph.diffuse.x", g_win.spheres.mat.diffuse.x,
+         g_ref.spheres.mat.diffuse.x),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        # different compiled programs (Mosaic vs XLA scan): ulp-level
+        # FMA differences compound over 10 bounces and single knife-edge
+        # sample flips move few-triangle grads by ~0.4% at spp=2
+        # (tools/probe_bitexact.py) — the bar is direction + magnitude,
+        # not bit equality
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-6,
+                                   err_msg=name)
+    assert np.abs(np.asarray(g_ref.spheres.mat.diffuse.x)).max() > 0
+    print(f"window-parity OK: {os.path.basename(scene_path)} x{bounces}b")
+
+
 def main() -> None:
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     # mcworld at 20 bounces (pyramide_eau's shipped depth, main.c:296)
@@ -86,6 +153,9 @@ def main() -> None:
           bounces=20, want_kernel=True)
     smoke(os.path.join(root, "scenes/refraction_stack.toml"), 128, 96, 2,
           want_kernel=True)
+    # gradient PARITY of the multi-window sweep (not just finiteness):
+    # 10 bounces > SINGLE_WINDOW_MAX forces the windowed path
+    window_parity(os.path.join(root, "scenes/pyramide.toml"), 10)
 
 
 if __name__ == "__main__":
