@@ -143,6 +143,11 @@ CULL_CHUNK = int(_os.environ.get("RAYTPU_MK_CULL_CHUNK", "32"))
                     # chunk saves ~40*CULL_CHUNK vector ops for ~25
 EXT_CHUNK = 128     # winner-extraction one-hot tile (lane dim of the
                     # VMEM tri table consumed per MXU contraction step)
+SMALL_EXT_TRIS = 16  # at or under this, winner extraction runs as an
+                    # SMEM select-chain instead of the one-hot MXU dot:
+                    # the (EXT_CHUNK, n) one-hot BUILD alone costs more
+                    # per lane than 19*T wheres (measured r5: pyramide
+                    # fwd 1.01 -> 1.11 Grays/s)
 # winner-extraction channel layout (pack_scene): 19 rows per limb
 #   0-2 a | 3-5 n | 6-8 b | 9-11 c | 12-17 ua va ub vb uc vc | 18 mat
 EXT_NR = 19
@@ -882,21 +887,42 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )
 
-        if "ext" in _ABLATE:
-            wout = acc0
+        if n_tris <= SMALL_EXT_TRIS and "ext" not in _ABLATE:
+            # tiny meshes (pyramide: 5 tris): an SMEM select-chain over
+            # the 19 consumed channels costs ~19*T wheres per lane —
+            # less than the (EXT_CHUNK, n) one-hot BUILD alone (~2.5 ops
+            # x 128 rows/lane), which the MXU dot needs regardless of
+            # how few triangles exist. Values are the exact table rows
+            # either way (the one-hot contraction is exact), so the two
+            # forms are bit-identical. tri_ref row map: a 0-2, n 9-11,
+            # b 12-14, c 15-17, uv 18-23, mat 24.
+            _ROWS19 = (0, 1, 2, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+                       18, 19, 20, 21, 22, 23, 24)
+            ch19 = [f0] * 19
+            for t_i in range(n_tris):
+                m = bidx == n_spheres + t_i
+                for k, r_ in enumerate(_ROWS19):
+                    ch19[k] = jnp.where(m, tri_ref[r_, t_i], ch19[k])
+            (wax, way, waz, wnx, wny, wnz, wbx, wby, wbz,
+             wcx, wcy, wcz, wua, wva, wub, wvb, wuc, wvc, wmat) = ch19
         else:
-            wout = jax.lax.fori_loop(0, t_pad // EXT_CHUNK, ext_chunk, acc0)
-        row = lambda j: (
-            (wout[j : j + 1] + wout[EXT_NR + j : EXT_NR + j + 1])
-            + wout[2 * EXT_NR + j : 2 * EXT_NR + j + 1]
-        ).reshape(ox.shape)
-        wax, way, waz = row(0), row(1), row(2)
-        wnx, wny, wnz = row(3), row(4), row(5)
-        wbx, wby, wbz = row(6), row(7), row(8)
-        wcx, wcy, wcz = row(9), row(10), row(11)
-        wua, wva, wub = row(12), row(13), row(14)
-        wvb, wuc, wvc = row(15), row(16), row(17)
-        wmat = row(18)
+            if "ext" in _ABLATE:
+                wout = acc0
+            else:
+                wout = jax.lax.fori_loop(
+                    0, t_pad // EXT_CHUNK, ext_chunk, acc0
+                )
+            row = lambda j: (
+                (wout[j : j + 1] + wout[EXT_NR + j : EXT_NR + j + 1])
+                + wout[2 * EXT_NR + j : 2 * EXT_NR + j + 1]
+            ).reshape(ox.shape)
+            wax, way, waz = row(0), row(1), row(2)
+            wnx, wny, wnz = row(3), row(4), row(5)
+            wbx, wby, wbz = row(6), row(7), row(8)
+            wcx, wcy, wcz = row(9), row(10), row(11)
+            wua, wva, wub = row(12), row(13), row(14)
+            wvb, wuc, wvc = row(15), row(16), row(17)
+            wmat = row(18)
 
         did_hit = bidx >= 0
         tri_wins = bidx >= n_spheres

@@ -468,7 +468,14 @@ def mesh_kernel_counts(scene_path: str, bounces: int) -> dict:
 
     # --- MXU MACs: winner extraction + texel fetch ---------------------
     t_pad = max(-(-n_t // tsc.EXT_CHUNK) * tsc.EXT_CHUNK, tsc.EXT_CHUNK)
-    ext_macs = 64 * t_pad            # (64, T_pad) @ (T_pad, n) per ray
+    if n_t <= tsc.SMALL_EXT_TRIS:
+        # r5: tiny meshes extract via SMEM select-chain (19*T wheres),
+        # no one-hot dot at all
+        ext_macs = 0
+        shade_extra = 19 * n_t
+    else:
+        ext_macs = 64 * t_pad        # (64, T_pad) @ (T_pad, n) per ray
+        shade_extra = 0
     tex_macs = 0
     if has_atlas:
         n_tex = scene.atlas.alpha.shape[0]
@@ -516,7 +523,7 @@ def mesh_kernel_counts(scene_path: str, bounces: int) -> dict:
             f"slab={slab_ops} x {n_chunks} chunks, shade~{shade_ops}"
         )
 
-    per_ray_bounce_vpu = prim_ops + cull_ops + shade_ops
+    per_ray_bounce_vpu = prim_ops + cull_ops + shade_ops + shade_extra
     return {
         "vpu_ops_per_ray_bounce": per_ray_bounce_vpu,
         "vpu_tri_loop": prim_ops,
