@@ -96,3 +96,31 @@ def test_train_reduces_loss(tmp_path, capsys):
     first = float(lines[0].split()[-1])
     last = float(lines[-1].split()[-1])
     assert last < first
+
+
+def test_render_no_megakernel_escape_hatch(tmp_path, monkeypatch):
+    """--no-megakernel and RAYTPU_NO_MEGAKERNEL=1 (ADVICE r4): the scan
+    path stays reachable without editing code. On the CPU test harness
+    the megakernel never runs anyway, so this asserts the flag paths
+    execute and render identically to the default."""
+    outs = []
+    for args, env in (
+        ([], None),
+        (["--no-megakernel"], None),
+        ([], "1"),
+    ):
+        if env is not None:
+            monkeypatch.setenv("RAYTPU_NO_MEGAKERNEL", env)
+        else:
+            monkeypatch.delenv("RAYTPU_NO_MEGAKERNEL", raising=False)
+        out = str(tmp_path / f"x{len(outs)}.png")
+        rc = main([
+            "render", "cornell", "--spp", "2", "--width", "16",
+            "--height", "12", "--out", out, *args,
+        ])
+        assert rc == 0 and os.path.exists(out)
+        from PIL import Image
+
+        outs.append(np.asarray(Image.open(out)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
